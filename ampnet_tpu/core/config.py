@@ -1,0 +1,133 @@
+"""Typed configuration — the single source of truth for every constant.
+
+The reference scatters its de-facto config across module-level constants and argparse
+defaults (ATT_HEADS/GLOBAL_FEAT_SIZE at ``self-attention/train_pointnet-attention.py:25-26``,
+N_POINTS/MAX_WINDOWS at ``pointNet/collate_fns.py:17-18``, MAX_CLUSTERS at
+``self-attention/test_pointnet_att_segmen.py:39`` and ``utils/utils.py:483,494``,
+HIDDEN_SIZE at ``rnn/train_pointnetGRU.py:28``, training defaults at
+``self-attention/train_pointnet-attention.py:488-496``). Here they all live in frozen
+dataclasses so a run is fully described by one `AMPNetConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / batching geometry.
+
+    Mirrors the reference's canonical 13-column schema
+    (``data_proc/2_preprocessing_filter_norm.py:76-86``) and padded window batching
+    (``pointNet/collate_fns.py:4-55``).
+    """
+
+    # points per window (reference N_POINTS, collate_fns.py:17)
+    n_points: int = 2048
+    # max windows per cloud at train time (reference MAX_WINDOWS, collate_fns.py:18)
+    max_windows: int = 9
+    # max clusters at test time (reference MAX_CLUSTERS=18 default, 25 alt;
+    # utils/utils.py:483, test_pointnet_att_segmen.py:39)
+    max_clusters_test: int = 18
+    # number of input features fed to the model: [x,y,z,I,R,G,B,NIR,NDVI]
+    # (datasets.py:359 drops col 3 = class from the 13/11-col array)
+    num_features: int = 9
+    # ASPRS-ish classes dropped at dataset load (datasets.py:339-350)
+    noise_classes: Tuple[int, ...] = (30, 7, 2, 8, 13, 14)
+    # classes dropped during offline preprocessing (2_preprocessing_filter_norm.py:41-48)
+    preproc_drop_classes: Tuple[int, ...] = (2, 7, 8, 13, 24, 30)
+    # HAG clip ceiling in metres (2_preprocessing_filter_norm.py:51-53)
+    max_height_m: float = 100.0
+    # ground-footprint window size in metres (1_get_windows_split.py CLI; paper 100/40)
+    window_size_m: float = 100.0
+    # columns used as k-means features in offline tiling: x, y, NDVI
+    # (3_kmeans.py:78-82 uses [0,1,9] of 13 cols; utils.py:504 uses [0,1,8] of 11 cols)
+    kmeans_feature_cols: Tuple[int, ...] = (0, 1, 9)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """AMP-Net model family hyperparameters.
+
+    Defaults mirror the primary AMP-Net run: 256-d global feature, 8 attention heads,
+    64-d local features, 5 segmentation classes
+    (``self-attention/train_pointnet-attention.py:25-26,110-118``).
+    """
+
+    num_classes: int = 5
+    point_dim: int = 3  # coords fed through the input T-Net (train script uses 3)
+    global_feat: int = 256
+    local_feat: int = 64
+    att_heads: int = 8
+    dropout: float = 0.3
+    # pluggable cross-window context: 'attention' | 'gru' | 'none'
+    context: str = "attention"
+    gru_hidden: int = 64  # rnn/train_pointnetGRU.py:28
+    # BatchNorm momentum/eps matching torch defaults (nn.BatchNorm1d)
+    bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*x ; torch 0.1 ≡ 0.9 here
+    bn_eps: float = 1e-5
+    dtype: Any = None  # compute dtype override (None → float32; bf16 for perf runs)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule of the AMP-Net trainer
+    (``self-attention/train_pointnet-attention.py:127-149,488-496``)."""
+
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    epochs: int = 500
+    lr_milestones: Tuple[int, ...] = (150, 250, 350)
+    lr_gamma: float = 0.5
+    # weighted CE over the 5 seg classes (train_pointnet-attention.py:127)
+    class_weights: Tuple[float, ...] = (1.0, 2.0, 2.0, 1.0, 1.0)
+    # feature-transform orthogonality regularizer weight (…:467)
+    reg_weight: float = 1e-3
+    ignore_index: int = -1
+    seed: int = 0
+    # class-weighting scheme for classification: 'EFS'|'INS'|'ISNS'|'sklearn'|'none'
+    weighing_method: str = "EFS"
+    beta: float = 0.999  # EFS beta (…:495)
+    # data-parallel device count hint (1 = single chip); the mesh is built at runtime
+    num_devices: int = 1
+
+
+@dataclass(frozen=True)
+class AMPNetConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return dataclasses.asdict(o)
+            raise TypeError(o)
+
+        return json.dumps(dataclasses.asdict(self), default=enc, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "AMPNetConfig":
+        raw = json.loads(s)
+
+        def mk(cls, d):
+            fields = {f.name for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in d.items():
+                if k not in fields:
+                    continue
+                kw[k] = tuple(v) if isinstance(v, list) else v
+            return cls(**kw)
+
+        return AMPNetConfig(
+            data=mk(DataConfig, raw.get("data", {})),
+            model=mk(ModelConfig, raw.get("model", {})),
+            train=mk(TrainConfig, raw.get("train", {})),
+        )
+
+    def replace(self, **kw) -> "AMPNetConfig":
+        return dataclasses.replace(self, **kw)

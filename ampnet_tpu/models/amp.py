@@ -1,0 +1,305 @@
+"""AMP-Net: attention-enhanced multi-PointNet for arbitrary-scale point clouds.
+
+TPU-first redesign of the reference model family
+(``pointNet/model/pointnetAtt.py:50-279``):
+
+* The reference encodes windows one at a time in a Python loop
+  (``train_pointnet-attention.py:396-424``) and repeats global features per point in
+  another loop (``pointnetAtt.py:193-197``). Here the whole cloud batch lives in one
+  ``[B, W, N, C]`` tensor: the window encoder runs as a single ``[B*W, N, C]`` pass
+  (one launch; MXU-friendly batched matmuls) and the per-point broadcast is a reshape.
+* Padded windows are replicate-padded real data (as in ``collate_fns.py:42-45``), kept
+  out of the attention via ``key_padding_mask`` and out of the loss via label −1.
+* All shapes are static; the same compiled program serves every batch.
+
+Architecture (AMP 'base' encoder, pointnetAtt.py:50-112):
+  input [.., N, 9] → T-Net over first `point_dim` coords → concat(transformed, full 9)
+  → MLP (9+pd)→64→64 → 64×64 feature T-Net → local 64-d features
+  → MLP 64→64→128→128→G → masked max-pool → global G-d feature.
+
+Segmentation head with attention (pointnetAtt.py:154-209):
+  centroid pos-enc MLP 2→16→G (leaky-ReLU), masked 8-head MHA over window tokens,
+  per-point concat [local64 ‖ attended-G] → MLP 320→G/2→64→num_classes.
+
+GRU context variant (pointnetAtt.py:212-258) and the classification heads
+(pointnetAtt.py:115-151, 261-279) share the same encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ampnet_tpu.core.config import ModelConfig
+from ampnet_tpu.models.attention import WindowMHA
+from ampnet_tpu.models.layers import (
+    MaskedBatchNorm,
+    SharedMLP,
+    TNet,
+    masked_max_pool,
+)
+
+
+class WindowEncoder(nn.Module):
+    """Shared PointNet window encoder over ``[B, W, N, F]``.
+
+    Returns per-point local features ``[B, W, N, local]``, per-window global features
+    ``[B, W, G]`` and the 64×64 feature-transform matrices ``[B, W, local, local]``
+    (for the orthogonality regularizer, train_pointnet-attention.py:463-467).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,  # [B, W, N, F] or [B, N, F]
+        point_mask: Optional[jnp.ndarray] = None,  # [..., N] True = real point
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        squeeze_windows = points.ndim == 3
+        if squeeze_windows:
+            points = points[:, None]
+            point_mask = point_mask[:, None] if point_mask is not None else None
+        B, W, N, F = points.shape
+        x = points.reshape(B * W, N, F)
+        mask = point_mask.reshape(B * W, N) if point_mask is not None else None
+
+        bn_kw = dict(use_running_average=not train, bn_momentum=cfg.bn_momentum, dtype=cfg.dtype)
+
+        # input transform over the first `point_dim` coordinates (pointnetAtt.py:83-86)
+        coords = x[..., : cfg.point_dim]
+        t_in = TNet(output_dim=cfg.point_dim, bottleneck=256, **bn_kw, name="input_tnet")(
+            coords, mask
+        )
+        coords_t = jnp.einsum("bnd,bde->bne", coords, t_in)
+        # AMP quirk kept on purpose: transformed coords are concatenated with the FULL
+        # 9-feature input (so x,y,z appear twice) — conv_1 in-channels 9+point_dim
+        # (pointnetAtt.py:66,86)
+        h = jnp.concatenate([coords_t, x], axis=-1)
+
+        h = SharedMLP((64, 64), **bn_kw, name="mlp_a")(h, mask)
+
+        t_feat = TNet(output_dim=64, bottleneck=256, **bn_kw, name="feature_tnet")(h, mask)
+        h = jnp.einsum("bnd,bde->bne", h, t_feat)
+        local_feats = h  # [B*W, N, 64]
+
+        h = SharedMLP((64, 128, 128, cfg.global_feat), **bn_kw, name="mlp_b")(h, mask)
+        global_feats = masked_max_pool(h, mask)  # [B*W, G]
+
+        local_feats = local_feats.reshape(B, W, N, cfg.local_feat)
+        global_feats = global_feats.reshape(B, W, cfg.global_feat)
+        t_feat = t_feat.reshape(B, W, 64, 64)
+        if squeeze_windows:
+            local_feats = local_feats[:, 0]
+            global_feats = global_feats[:, 0]
+            t_feat = t_feat[:, 0]
+        return local_feats, global_feats, t_feat
+
+
+class CentroidPositionalEncoding(nn.Module):
+    """MLP 2→16→embed_dim with leaky ReLU (pointnetAtt.py:160-161,183-185)."""
+
+    embed_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, centroids: jnp.ndarray) -> jnp.ndarray:  # [B, W, 2]
+        h = nn.Dense(16, dtype=self.dtype, name="fc1")(centroids)
+        h = nn.leaky_relu(h, negative_slope=0.01)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class AttentionContext(nn.Module):
+    """Cross-window context via centroid-pos-enc + masked MHA."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        global_feats: jnp.ndarray,  # [B, W, G]
+        centroids: Optional[jnp.ndarray],  # [B, W, 2]
+        window_pad_mask: Optional[jnp.ndarray],  # [B, W] True = padded window
+        train: bool = False,
+        use_pos_enc: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        tokens = global_feats
+        if use_pos_enc and centroids is not None:
+            tokens = tokens + CentroidPositionalEncoding(
+                cfg.global_feat, dtype=cfg.dtype, name="pos_enc"
+            )(centroids)
+        out, weights = WindowMHA(
+            cfg.global_feat, cfg.att_heads, dropout=cfg.dropout, dtype=cfg.dtype, name="mha"
+        )(tokens, key_padding_mask=window_pad_mask, deterministic=not train)
+        return out, weights
+
+
+class GRUContext(nn.Module):
+    """Sequential cross-window context (SegmentationWithGRU, pointnetAtt.py:212-233):
+    a unidirectional GRU over the window sequence, hidden size ``gru_hidden``."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        global_feats: jnp.ndarray,  # [B, W, G]
+        train: bool = False,
+    ) -> jnp.ndarray:  # [B, W, H]
+        cfg = self.cfg
+        cell = nn.GRUCell(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
+        B = global_feats.shape[0]
+        carry = cell.initialize_carry(jax.random.PRNGKey(0), (B, cfg.global_feat))
+        carry = jnp.zeros_like(carry)
+
+        def step(carry, x):
+            carry, y = cell(carry, x)
+            return carry, y
+
+        _, ys = jax.lax.scan(step, carry, global_feats.swapaxes(0, 1))
+        return ys.swapaxes(0, 1)
+
+
+class SegmentationHead(nn.Module):
+    """Per-point head over [local ‖ context] (pointnetAtt.py:167-174,199-207).
+    Head convs carry biases (torch Conv1d default)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        local_feats: jnp.ndarray,  # [B, W, N, L]
+        context: jnp.ndarray,  # [B, W, C] — per-window context vector
+        point_mask: Optional[jnp.ndarray] = None,  # [B, W, N]
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, W, N, L = local_feats.shape
+        ctx = jnp.broadcast_to(context[:, :, None, :], (B, W, N, context.shape[-1]))
+        h = jnp.concatenate([local_feats, ctx], axis=-1)
+        mask = point_mask
+
+        dims = (context.shape[-1] + L,)
+        del dims
+        mid = max(cfg.global_feat // 2, 64) if context.shape[-1] >= 128 else 128
+        bn_kw = dict(use_running_average=not train, momentum=cfg.bn_momentum, dtype=cfg.dtype)
+
+        h = nn.Dense(mid, use_bias=True, dtype=cfg.dtype, name="dense_1")(h)
+        h = MaskedBatchNorm(**bn_kw, name="bn_1")(h, mask)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout, deterministic=not train, name="drop_1")(h)
+        h = nn.Dense(64, use_bias=True, dtype=cfg.dtype, name="dense_2")(h)
+        h = MaskedBatchNorm(**bn_kw, name="bn_2")(h, mask)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout, deterministic=not train, name="drop_2")(h)
+        return nn.Dense(cfg.num_classes, use_bias=True, dtype=cfg.dtype, name="dense_out")(h)
+
+
+class AMPNetSegmenter(nn.Module):
+    """Full AMP-Net segmentation model: encoder + pluggable context + per-point head.
+
+    Inputs::
+        points      [B, W, N, F]   window-tiled feature tensor
+        centroids   [B, W, 2]      per-window x/y centroids (attention pos-enc)
+        window_pad_mask [B, W]     True for replicate-padded windows
+        point_mask  [B, W, N]      True for real points (None = all real)
+
+    Returns ``(logits [B, W, N, num_classes], feature_transforms, attn_weights)``.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        centroids: Optional[jnp.ndarray] = None,
+        window_pad_mask: Optional[jnp.ndarray] = None,
+        point_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        local_feats, global_feats, t_feat = WindowEncoder(cfg, name="encoder")(
+            points, point_mask, train=train
+        )
+        attn_weights = None
+        if cfg.context == "attention":
+            ctx, attn_weights = AttentionContext(cfg, name="context")(
+                global_feats, centroids, window_pad_mask, train=train
+            )
+        elif cfg.context == "gru":
+            ctx = GRUContext(cfg, name="context")(global_feats, train=train)
+        elif cfg.context == "none":
+            ctx = global_feats
+        else:
+            raise ValueError(f"unknown context {cfg.context!r}")
+        logits = SegmentationHead(cfg, name="head")(local_feats, ctx, point_mask, train=train)
+        return logits, t_feat, attn_weights
+
+
+class ClassificationHead(nn.Module):
+    """Window-mixing conv + FC head (ClassificationWithAttention, pointnetAtt.py:127-149):
+    Conv1d(num_w→1) over the window axis, then 256→128→num_classes."""
+
+    cfg: ModelConfig
+    num_out: int = 2
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        B, W, E = tokens.shape
+        # Conv1d(num_w, 1, 1) ≡ a learned weighted sum over the window axis
+        mix_w = self.param("mix_kernel", nn.initializers.lecun_normal(), (W, 1), jnp.float32)
+        mix_b = self.param("mix_bias", nn.initializers.zeros, (1,), jnp.float32)
+        h = jnp.einsum("bwe,wo->be", tokens, mix_w.astype(tokens.dtype)) + mix_b.astype(
+            tokens.dtype
+        )
+        h = nn.relu(h)
+        h = nn.Dense(128, use_bias=True, dtype=cfg.dtype, name="fc_2")(h)
+        h = MaskedBatchNorm(
+            use_running_average=not train, momentum=cfg.bn_momentum, dtype=cfg.dtype, name="bn_2"
+        )(h)
+        h = nn.relu(h)
+        return nn.Dense(self.num_out, use_bias=True, dtype=cfg.dtype, name="fc_3")(h)
+
+
+class AMPNetClassifier(nn.Module):
+    """Binary (or k-way) cloud classification from attended window tokens
+    (ClassificationWithAttention / ClassificationFromGRU, pointnetAtt.py:115-151,261-279)."""
+
+    cfg: ModelConfig
+    num_out: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        centroids: Optional[jnp.ndarray] = None,
+        window_pad_mask: Optional[jnp.ndarray] = None,
+        point_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        _, global_feats, t_feat = WindowEncoder(cfg, name="encoder")(
+            points, point_mask, train=train
+        )
+        attn_weights = None
+        if cfg.context == "attention":
+            # classification attention has no positional encoding (commented out in the
+            # reference, pointnetAtt.py:120-121,134-137)
+            ctx, attn_weights = AttentionContext(cfg, name="context")(
+                global_feats, None, window_pad_mask, train=train, use_pos_enc=False
+            )
+        elif cfg.context == "gru":
+            ctx = GRUContext(cfg, name="context")(global_feats, train=train)
+        else:
+            ctx = global_feats
+        logits = ClassificationHead(cfg, self.num_out, name="head")(ctx, train=train)
+        return logits, t_feat, attn_weights

@@ -1,0 +1,75 @@
+"""Train state: params + batch stats + one Adam with the reference's LR schedule.
+
+The reference runs TWO Adam optimizers with identical hyperparameters and identical
+MultiStepLR schedules — one for the encoder, one for the attention head
+(``train_pointnet-attention.py:140-149``). Adam is elementwise, so two identically
+configured Adams over disjoint parameter groups are mathematically one Adam over the
+union; we keep a single optax chain (one less state tree to shard) and preserve the
+two-group structure in the checkpoint payload instead (see core/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ampnet_tpu.core.config import AMPNetConfig
+
+
+class AMPTrainState(train_state.TrainState):
+    batch_stats: Any = None
+    rng: jax.Array = struct.field(default=None)
+    epoch: jnp.ndarray = struct.field(default=None)
+
+
+def multistep_adam(
+    learning_rate: float,
+    milestones,
+    gamma: float,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    """Adam + epoch-milestone LR decay (MultiStepLR semantics,
+    train_pointnet-attention.py:144-149), expressed as a step-count schedule."""
+    if milestones and steps_per_epoch > 0:
+        schedule = optax.piecewise_constant_schedule(
+            init_value=learning_rate,
+            boundaries_and_scales={int(m) * steps_per_epoch: gamma for m in milestones},
+        )
+    else:
+        schedule = learning_rate
+    return optax.adam(schedule)
+
+
+def create_train_state(
+    cfg: AMPNetConfig,
+    model,
+    rng: jax.Array,
+    sample_batch: Dict[str, jnp.ndarray],
+    steps_per_epoch: int = 0,
+    tx: Optional[optax.GradientTransformation] = None,
+    apply_fn: Optional[Callable] = None,
+) -> AMPTrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng},
+        sample_batch["points"],
+        sample_batch.get("centroids"),
+        sample_batch.get("window_pad_mask"),
+        train=False,
+    )
+    if tx is None:
+        t = cfg.train
+        tx = multistep_adam(t.learning_rate, t.lr_milestones, t.lr_gamma, steps_per_epoch)
+    return AMPTrainState.create(
+        apply_fn=apply_fn or model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+        rng=state_rng,
+        epoch=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,128 @@
+"""The jitted train/eval steps — the whole reference ``train_loop``
+(``train_pointnet-attention.py:337-475``) as ONE compiled XLA program.
+
+What the reference does per batch — 9 sequential encoder launches with host-side NumPy
+rotation and torch.cat reallocation between them, then attention, loss, backward —
+happens here as a single fused program: on-device augmentation, one batched
+``[B*W, N, C]`` encoder pass, masked attention, masked weighted CE + T-Net
+regularizer, grads, Adam update. Metrics come back as a [C, C] confusion matrix so
+the epoch driver never pulls per-point predictions to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ampnet_tpu.core.config import AMPNetConfig
+from ampnet_tpu.core.metrics import confusion_matrix
+from ampnet_tpu.ops.augment import rotate_z, shuffle_windows
+from ampnet_tpu.train.losses import orthogonality_regularizer, weighted_cross_entropy
+from ampnet_tpu.train.state import AMPTrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def window_pad_mask_from_labels(labels: jnp.ndarray) -> jnp.ndarray:
+    """A window is padding iff every label in it is −1
+    (train_pointnet-attention.py:428-431)."""
+    return jnp.all(labels == -1, axis=-1)
+
+
+def _forward(state, params, batch_stats, batch, cfg: AMPNetConfig, train, dropout_rng):
+    pad_mask = batch.get("window_pad_mask")
+    if pad_mask is None:
+        pad_mask = window_pad_mask_from_labels(batch["labels"])
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    out = state.apply_fn(
+        variables,
+        batch["points"],
+        batch.get("centroids"),
+        pad_mask,
+        batch.get("point_mask"),
+        train=train,
+        rngs=rngs,
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        (logits, t_feat, _), updates = out
+        return logits, t_feat, updates["batch_stats"]
+    logits, t_feat, _ = out
+    return logits, t_feat, batch_stats
+
+
+def make_step_fns(
+    cfg: AMPNetConfig,
+    augment: bool = True,
+) -> Tuple[Callable, Callable]:
+    """Build jitted (train_step, eval_step) closures over the config."""
+
+    class_weights = jnp.asarray(cfg.train.class_weights, jnp.float32)
+    reg_w = cfg.train.reg_weight
+    num_classes = cfg.model.num_classes
+
+    @jax.jit
+    def train_step(state: AMPTrainState, batch: Batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        k_shuffle, k_rot, k_drop = jax.random.split(rng, 3)
+
+        points, labels = batch["points"], batch["labels"]
+        centroids = batch.get("centroids")
+        if augment:
+            # shared-permutation window shuffle + shared-angle z-rotation
+            # (train_pointnet-attention.py:390-405)
+            if centroids is not None:
+                points, labels, centroids = shuffle_windows(points, labels, k_shuffle, centroids)
+            else:
+                points, labels = shuffle_windows(points, labels, k_shuffle)
+            points = rotate_z(points, key=k_rot)
+        aug = dict(batch, points=points, labels=labels)
+        if centroids is not None:
+            aug["centroids"] = centroids
+
+        def loss_fn(params):
+            logits, t_feat, new_stats = _forward(
+                state, params, state.batch_stats, aug, cfg, True, k_drop
+            )
+            ce = weighted_cross_entropy(
+                logits, aug["labels"], class_weights, cfg.train.ignore_index
+            )
+            reg = orthogonality_regularizer(t_feat)
+            loss = ce + reg_w * reg
+            return loss, (ce, reg, logits, new_stats)
+
+        (loss, (ce, reg, logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, aug["labels"], num_classes)
+        metrics = {"loss": loss, "ce_loss": ce, "reg_loss": reg, "confusion": cm}
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: AMPTrainState, batch: Batch):
+        logits, _, _ = _forward(state, state.params, state.batch_stats, batch, cfg, False, None)
+        ce = weighted_cross_entropy(
+            logits, batch["labels"], class_weights, cfg.train.ignore_index
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, batch["labels"], num_classes)
+        # validation loss is CE only (train_pointnet-attention.py:471-473)
+        return {"loss": ce, "ce_loss": ce, "confusion": cm}, preds
+
+    return train_step, eval_step
+
+
+# convenience single-use wrappers
+def train_step(state, batch, cfg):  # pragma: no cover - thin wrapper
+    return make_step_fns(cfg)[0](state, batch)
+
+
+def eval_step(state, batch, cfg):  # pragma: no cover - thin wrapper
+    return make_step_fns(cfg)[1](state, batch)

@@ -1,0 +1,89 @@
+"""End-to-end jitted train-step tests: shapes, loss decrease on the synthetic task,
+padding invariants, and the window-pad-mask derivation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
+from ampnet_tpu.core.metrics import iou_from_confusion
+from ampnet_tpu.data.synthetic import synthetic_batch
+from ampnet_tpu.models.amp import AMPNetSegmenter
+from ampnet_tpu.train.state import create_train_state
+from ampnet_tpu.train.step import make_step_fns, window_pad_mask_from_labels
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return AMPNetConfig(model=ModelConfig(), train=TrainConfig(learning_rate=5e-3))
+
+
+@pytest.fixture(scope="module")
+def setup(cfg):
+    rng = np.random.default_rng(42)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, 2, 4, 96).items()}
+    model = AMPNetSegmenter(cfg.model)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    return model, state, batch
+
+
+def test_window_pad_mask():
+    labels = jnp.asarray([[[0, 1], [-1, -1], [2, -1]]])
+    mask = window_pad_mask_from_labels(labels)
+    np.testing.assert_array_equal(np.asarray(mask), [[False, True, False]])
+
+
+def test_train_step_runs_and_learns(cfg, setup):
+    model, state, batch = setup
+    train_step, eval_step = make_step_fns(cfg, augment=False)
+    losses = []
+    for _ in range(40):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["ce_loss"]))
+    assert np.isfinite(losses).all()
+    # overfits a fixed small batch: CE must drop substantially
+    assert losses[-1] < losses[0] * 0.7, losses
+
+    metrics, preds = eval_step(state, batch)
+    assert preds.shape == batch["labels"].shape
+    iou, valid = iou_from_confusion(metrics["confusion"])
+    assert np.isfinite(np.asarray(iou)).all()
+
+
+def test_train_step_with_augmentation_is_finite(cfg, setup):
+    model, state, batch = setup
+    train_step, _ = make_step_fns(cfg, augment=True)
+    for _ in range(3):
+        state, metrics = train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_confusion_excludes_padding(cfg, setup):
+    model, state, batch = setup
+    _, eval_step = make_step_fns(cfg)
+    metrics, _ = eval_step(state, batch)
+    n_valid = int((np.asarray(batch["labels"]) >= 0).sum())
+    assert int(np.asarray(metrics["confusion"]).sum()) == n_valid
+
+
+def test_step_count_and_lr_schedule(cfg, setup):
+    model, state, batch = setup
+    train_step, _ = make_step_fns(cfg)
+    s1, _ = train_step(state, batch)
+    assert int(s1.step) == int(state.step) + 1
+
+
+def test_gradients_flow_to_all_params(cfg, setup):
+    """Every parameter should receive a nonzero gradient signal after a few steps
+    (guards against dead branches in the vectorized rewrite)."""
+    model, state, batch = setup
+    train_step, _ = make_step_fns(cfg, augment=False)
+    s = state
+    for _ in range(3):
+        s, _ = train_step(s, batch)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, s.params)
+    leaves = jax.tree.leaves(diffs)
+    # allow a tiny number of genuinely cold params (e.g. rarely-hit classes) but not many
+    frozen = sum(1 for d in leaves if d == 0.0)
+    assert frozen == 0, f"{frozen}/{len(leaves)} params received no update"

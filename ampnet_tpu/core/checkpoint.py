@@ -1,0 +1,120 @@
+"""Schema-versioned checkpointing (orbax-backed).
+
+The reference has two mutually inconsistent torch checkpoint schemas:
+``save_checkpoint_segmen_model`` writes ``{base_pointnet, segmen_net, opt_pointnet,
+opt_segmen, task, batch_size, lr, number_of_points, epoch, epochs_since_improvement,
+accuracy}`` (``utils/utils.py:422-438``) while ``save_checkpoint`` writes ``{model,
+optimizer, ..., weighing_method}`` (``utils/utils.py:441-456``) — and
+``baseline/test_segmentation.py:68`` reads a key the matching trainer never writes.
+Here there is ONE schema, carrying every logical field of both, plus an explicit
+``schema_version`` so future migrations are mechanical (SURVEY.md §5).
+
+Layout on disk::
+
+    <dir>/<name>/state/      orbax PyTree (params, batch_stats, opt_state, counters)
+    <dir>/<name>/meta.json   hyperparameters + schema version + full AMPNetConfig
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+SCHEMA_VERSION = 1
+
+
+def _tree_to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Save/restore train state with reference-equivalent metadata."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(
+        self,
+        name: str,
+        state,
+        *,
+        task: str = "segmentation",
+        accuracy: float = 0.0,
+        epochs_since_improvement: int = 0,
+        config_json: Optional[str] = None,
+        weighing_method: Optional[str] = None,
+        batch_size: Optional[int] = None,
+        learning_rate: Optional[float] = None,
+        number_of_points: Optional[int] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        payload = {
+            "params": _tree_to_numpy(state.params),
+            "batch_stats": _tree_to_numpy(state.batch_stats),
+            "opt_state": _tree_to_numpy(state.opt_state),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(state.epoch),
+        }
+        target = self.path(name)
+        self._ckptr.save(os.path.join(target, "state"), payload, force=True)
+        meta = {
+            "schema_version": SCHEMA_VERSION,
+            "task": task,
+            "accuracy": float(accuracy),
+            "epochs_since_improvement": int(epochs_since_improvement),
+            "batch_size": batch_size,
+            "lr": learning_rate,
+            "number_of_points": number_of_points,
+            "weighing_method": weighing_method,
+            "config": json.loads(config_json) if config_json else None,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(target, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return target
+
+    def load_meta(self, name: str) -> Dict[str, Any]:
+        with open(os.path.join(self.path(name), "meta.json")) as f:
+            meta = json.load(f)
+        v = meta.get("schema_version")
+        if v != SCHEMA_VERSION:
+            raise ValueError(f"checkpoint schema {v} != supported {SCHEMA_VERSION}")
+        return meta
+
+    def restore(self, name: str, state) -> Tuple[Any, Dict[str, Any]]:
+        """Restore into an existing (template) train state; returns (state, meta).
+
+        Like the reference resume path (train_pointnet-attention.py:151-162) this
+        restores params, optimizer state and counters.
+        """
+        meta = self.load_meta(name)
+        template = {
+            "params": _tree_to_numpy(state.params),
+            "batch_stats": _tree_to_numpy(state.batch_stats),
+            "opt_state": _tree_to_numpy(state.opt_state),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(state.epoch),
+        }
+        restored = self._ckptr.restore(os.path.join(self.path(name), "state"), item=template)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            epoch=restored["epoch"],
+        )
+        return state, meta
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "meta.json"))

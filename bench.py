@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end AMP-Net inference throughput on one TPU chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+* value: steady-state windows/sec of the flagship AMP-Net segmenter (batch 32 clouds ×
+  9 windows × 2048 points, the reference train/test geometry — BASELINE.md).
+* vs_baseline: speedup over the CPU-PyTorch reference-style eager loop (per-window
+  encoder passes + attention, ``test_pointnet_att_segmen.py:160-177`` shape), measured
+  once on this host and cached in ``.bench_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+# persistent XLA compilation cache: first-time compile through the remote relay is
+# minutes; cached recompiles are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BATCH = 32
+WINDOWS = 9
+POINTS = 2048
+FEATS = 9
+
+
+def get_baseline() -> dict:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    sys.stderr.write("measuring CPU torch baseline (one-time)...\n")
+    from benchmarks.torch_baseline import measure_reference_inference
+
+    result = measure_reference_inference(n_clouds=4, n_windows=WINDOWS, n_points=POINTS)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def measure_tpu(iters: int = 30) -> dict:
+    """Steady-state throughput with serialized iterations.
+
+    The axon relay backend dispatches asynchronously and ``block_until_ready`` does
+    not reliably cover remote execution, so each iteration carries a data dependency
+    on the previous one and the wall clock closes over one final host fetch —
+    the only honest timing on this transport.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ampnet_tpu.core.config import AMPNetConfig
+    from ampnet_tpu.models.amp import AMPNetSegmenter
+
+    cfg = AMPNetConfig()
+    model = AMPNetSegmenter(cfg.model)
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(BATCH, WINDOWS, POINTS, FEATS)).astype(np.float32))
+    cent = jnp.asarray(rng.normal(size=(BATCH, WINDOWS, 2)).astype(np.float32))
+    pad = jnp.zeros((BATCH, WINDOWS), bool)
+
+    variables = model.init(jax.random.PRNGKey(0), pts, cent, pad)
+
+    @jax.jit
+    def forward(variables, pts, cent, pad, carry):
+        logits, _, _ = model.apply(variables, pts + carry, cent, pad, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        # zero-valued scalar that depends on every prediction → serializes iterations
+        new_carry = (preds.sum() % 1).astype(pts.dtype) * 0.0
+        return new_carry
+
+    zero = jnp.zeros((), pts.dtype)
+    t0 = time.perf_counter()
+    float(forward(variables, pts, cent, pad, zero))
+    compile_s = time.perf_counter() - t0
+
+    # warmup steady state
+    carry = zero
+    for _ in range(3):
+        carry = forward(variables, pts, cent, pad, carry)
+    float(carry)
+
+    t0 = time.perf_counter()
+    carry = zero
+    for _ in range(iters):
+        carry = forward(variables, pts, cent, pad, carry)
+    float(carry)  # single host fetch closes the timed region
+    dt = time.perf_counter() - t0
+
+    total_windows = BATCH * WINDOWS * iters
+    return {
+        "windows_per_sec": total_windows / dt,
+        "points_per_sec": total_windows * POINTS / dt,
+        "step_ms": dt / iters * 1e3,
+        "compile_s": compile_s,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    baseline = get_baseline()
+    tpu = measure_tpu()
+    value = tpu["windows_per_sec"]
+    vs = value / baseline["windows_per_sec"]
+    detail = {
+        "tpu": tpu,
+        "baseline_cpu_torch": baseline,
+    }
+    sys.stderr.write(json.dumps(detail, indent=2) + "\n")
+    print(
+        json.dumps(
+            {
+                "metric": "ampnet_inference_throughput",
+                "value": round(value, 2),
+                "unit": "windows/sec",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Balanced k-means tiling, jitted for TPU.
+
+Replaces the reference's ``KMeansConstrained`` (Cython + min-cost-flow) at both sites:
+
+* offline training tiling into EXACTLY ``n_points``-sized windows
+  (``data_proc/3_kmeans.py:78-82``),
+* test-time tiling with a MINIMUM window size (``utils/utils.py:500-505`` —
+  ``size_min`` only, so clusters may exceed ``n_points``).
+
+Design: Lloyd iterations where the assignment step is an entropic optimal transport
+(Sinkhorn) between points (uniform mass) and clusters (capacity mass) — all dense
+[N, k] matmul/VPU work, no data-dependent shapes — followed by an exact
+capacity-respecting rounding (per-cluster top-s selection on transport scores). The
+temperature anneals across iterations so late plans are near-integral and rounding is
+near-optimal. Exact min-cost-flow parity for offline preprocessing is provided by the
+native C++ solver (ampnet_tpu/native); this op is the on-device path used inside the
+inference pipeline where downstream windows are mask-padded anyway (SURVEY.md §7
+hard-part #1).
+
+Key property vs the reference: everything here runs inside one XLA program on device —
+the reference shells out to a host solver per cloud (n_init=5 restarts of an MCF
+solve), which dominates its test-time latency.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sqdist(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared distances [N, k] as one MXU matmul + broadcasts."""
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    c2 = jnp.sum(jnp.square(c), axis=-1)
+    return x2 + c2[None, :] - 2.0 * (x @ c.T)
+
+
+def sinkhorn_plan(
+    cost: jnp.ndarray,  # [N, k]
+    capacities: jnp.ndarray,  # [k], sums to N
+    tau: float,
+    iters: int = 30,
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Entropic OT plan with uniform row marginals and given column marginals."""
+    n = cost.shape[0]
+    logK = -cost / tau
+    if point_mask is not None:
+        logK = jnp.where(point_mask[:, None], logK, -1e30)
+        row_mass = point_mask.astype(jnp.float32)
+    else:
+        row_mass = jnp.ones((n,), jnp.float32)
+    log_r = jnp.log(jnp.maximum(row_mass, 1e-30))
+    log_c = jnp.log(capacities.astype(jnp.float32))
+
+    def body(_, uv):
+        u, v = uv
+        # column scaling then row scaling in log space
+        v = log_c - jax.nn.logsumexp(logK + u[:, None], axis=0)
+        u = log_r - jax.nn.logsumexp(logK + v[None, :], axis=1)
+        return u, v
+
+    u = jnp.zeros((n,), jnp.float32)
+    v = jnp.zeros((cost.shape[1],), jnp.float32)
+    u, v = jax.lax.fori_loop(0, iters, body, (u, v))
+    return jnp.exp(logK + u[:, None] + v[None, :])
+
+
+def round_balanced(
+    scores: jnp.ndarray,  # [N, k] higher = stronger affinity
+    capacities: jnp.ndarray,  # [k] ints, sum == N (or <= N for min-size rounding)
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Exact capacity-respecting hard assignment from a (near-integral) plan.
+
+    Static unrolled pass over clusters: each cluster claims its top-`capacity`
+    still-available points by transport score. With a well-annealed plan the scores
+    are near-integral, so claim order barely matters. If sum(capacities) < N the
+    leftover points get assignment −1 (padding). Capacities must be static ints.
+    """
+    n, k = scores.shape
+    caps = tuple(int(c) for c in capacities)
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    if point_mask is not None:
+        scores = jnp.where(point_mask[:, None], scores, neg)
+
+    assign = jnp.full((n,), -1, jnp.int32)
+    avail = jnp.ones((n,), bool) if point_mask is None else point_mask
+
+    for c in range(k):  # k is small (≤25) and static → unrolled
+        s = jnp.where(avail, scores[:, c], neg)
+        _, idx = jax.lax.top_k(s, caps[c])
+        take = jnp.zeros((n,), bool).at[idx].set(True) & avail
+        assign = jnp.where(take, c, assign)
+        avail = avail & ~take
+    return assign
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "capacities", "lloyd_iters", "sinkhorn_iters", "exact"),
+)
+def balanced_kmeans(
+    feats: jnp.ndarray,  # [N, F] clustering features (e.g. x, y, NDVI)
+    k: int,
+    key: jax.Array,
+    capacities: Optional[Tuple[int, ...]] = None,  # static; default N/k each
+    lloyd_iters: int = 10,
+    sinkhorn_iters: int = 30,
+    exact: bool = True,
+    point_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (assignment [N] int32, centroids [k, F]).
+
+    With ``exact=True`` every cluster gets exactly its capacity (train tiling,
+    3_kmeans.py semantics). With ``exact=False`` the assignment is the argmax of the
+    balanced plan — sizes are approximately the capacities (test tiling, which only
+    enforces a minimum size; utils.py:500-505).
+    """
+    n = feats.shape[0]
+    feats = feats.astype(jnp.float32)
+    n_real = n if point_mask is None else jnp.maximum(point_mask.sum(), 1)
+    if capacities is None:
+        capacities = tuple(n // k + (1 if i < n % k else 0) for i in range(k))
+    cap_arr = jnp.asarray(capacities, jnp.int32)
+
+    # init: random distinct-ish points as centroids
+    perm = jax.random.permutation(key, n)
+    centroids = feats[perm[:k]]
+
+    tau0, tau1 = 1.0, 0.05  # annealed entropic temperature (relative to cost scale)
+
+    def lloyd(i, carry):
+        centroids, _ = carry
+        cost = _sqdist(feats, centroids)
+        scale = jnp.maximum(jnp.mean(cost), 1e-12)
+        frac = i / jnp.maximum(lloyd_iters - 1, 1)
+        tau = scale * (tau0 * (tau1 / tau0) ** frac)
+        plan = sinkhorn_plan(cost, cap_arr, tau, sinkhorn_iters, point_mask)
+        # capacity-weighted centroid update (plan columns sum to capacities)
+        w = plan / jnp.maximum(plan.sum(axis=0, keepdims=True), 1e-30)
+        centroids = w.T @ feats
+        return centroids, plan
+
+    dummy_plan = jnp.zeros((n, k), jnp.float32)
+    centroids, plan = jax.lax.fori_loop(
+        0, lloyd_iters, lloyd, (centroids, dummy_plan)
+    )
+
+    if exact:
+        assign = round_balanced(plan, capacities, point_mask)
+    else:
+        assign = jnp.argmax(plan, axis=1).astype(jnp.int32)
+        if point_mask is not None:
+            assign = jnp.where(point_mask, assign, -1)
+    return assign, centroids
+
+
+def cluster_sizes(assign: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jnp.sum(jax.nn.one_hot(assign, k, dtype=jnp.int32), axis=0)
+
+
+def num_tiles_train(n: int, n_points: int, max_clusters: int = 9) -> int:
+    """k = ceil(N / n_points), capped (3_kmeans.py:54-57)."""
+    import math
+
+    return min(max(math.ceil(n / n_points), 1), max_clusters)
+
+
+def num_tiles_test(n: int, n_points: int, max_clusters: int = 18) -> int:
+    """k = floor(N / n_points), capped (utils/utils.py:489-495); 1 if cloud is small."""
+    if n < 2 * n_points:
+        return 1
+    return min(n // n_points, max_clusters)

@@ -1,0 +1,155 @@
+"""Host input pipeline: padded static-shape batches with background prefetch.
+
+Replaces DataLoader + ``collate_seq_padd``/``collate_cls_padd``
+(``pointNet/collate_fns.py:4-113``). Contract of every emitted batch::
+
+    points     [B, W, N, F] float32  — windows replicate-padded to W=max_windows
+    labels     [B, W, N]    int32    — padded windows are all −1 (loss-ignored)
+    centroids  [B, W, 2]    float32  — replicate-padded
+    cls_label  [B]          int32    — only for classification tasks
+    names      list[str]             — host-side only
+
+Point-axis resampling uses ONE index list shared across a cloud's windows, exactly
+like the reference collate (``collate_fns.py:33-41`` indexes the [N, dims, W] array on
+the first axis). Batches are produced by a daemon thread into a bounded queue so host
+preprocessing overlaps device compute (the TPU-side analog of DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def pad_windowed_sample(
+    sample: Dict[str, np.ndarray],
+    n_points: int,
+    max_windows: int,
+    rng: np.random.Generator,
+) -> Dict[str, np.ndarray]:
+    """Resample the point axis to ``n_points`` and replicate-pad windows to
+    ``max_windows`` (collate_seq_padd semantics)."""
+    pts, lbl, cent = sample["points"], sample["labels"], sample["centroids"]
+    w, n, f = pts.shape
+
+    if n < n_points:  # sample WITH replacement (torch.randint path)
+        idx = rng.integers(0, n, n_points)
+    elif n > n_points:  # sample WITHOUT replacement (random.sample path)
+        idx = rng.permutation(n)[:n_points]
+    else:
+        idx = None
+    if idx is not None:
+        pts, lbl = pts[:, idx, :], lbl[:, idx]
+
+    if w > max_windows:
+        pts, lbl, cent = pts[:max_windows], lbl[:max_windows], cent[:max_windows]
+        w = max_windows
+    if w < max_windows:
+        reps = max_windows - w
+        pts = np.concatenate([pts, np.repeat(pts[-1:], reps, axis=0)], axis=0)
+        cent = np.concatenate([cent, np.repeat(cent[-1:], reps, axis=0)], axis=0)
+        lbl = np.concatenate([lbl, np.full((reps, n_points), -1, lbl.dtype)], axis=0)
+
+    out = dict(sample, points=pts, labels=lbl, centroids=cent)
+    return out
+
+
+class PaddedBatcher:
+    """Iterable over static-shape batches with optional background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        n_points: int = 2048,
+        max_windows: int = 9,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.n_points = n_points
+        self.max_windows = max_windows
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batches(self, rng: np.random.Generator) -> Iterator[Dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_batches = len(self)
+        for b in range(n_batches):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            samples = [
+                pad_windowed_sample(
+                    self.dataset[int(i)], self.n_points, self.max_windows, rng
+                )
+                for i in idxs
+            ]
+            batch = {
+                "points": np.stack([s["points"] for s in samples]),
+                "labels": np.stack([s["labels"] for s in samples]),
+                "centroids": np.stack([s["centroids"] for s in samples]),
+                "names": [s["name"] for s in samples],
+            }
+            if "cls_label" in samples[0]:
+                batch["cls_label"] = np.asarray([s["cls_label"] for s in samples])
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._make_batches(rng)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in self._make_batches(rng):
+                    q.put(batch)
+            except Exception as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]
+
+
+def to_device_batch(batch: Dict, mesh=None) -> Dict:
+    """Move the array fields of a host batch onto the device(s)."""
+    import jax
+    import jax.numpy as jnp
+
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if mesh is not None:
+        from ampnet_tpu.parallel.mesh import batch_sharding
+
+        sh = batch_sharding(mesh)
+        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    return {k: jnp.asarray(v) for k, v in arrays.items()}

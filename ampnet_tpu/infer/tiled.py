@@ -1,0 +1,175 @@
+"""Arbitrary-scale tiled inference with stitched per-point predictions.
+
+The reference test path (``test_pointnet_att_segmen.py:31-284``) per cloud: host
+KMeansConstrained tiling (or a precomputed pickle), a Python loop of batch-1 encoder
+passes over variable-size clusters, one attention pass, per-class IoU, CSV row.
+
+TPU-native redesign — per cloud, ONE jitted program does everything on device:
+
+1. balanced k-means tiling on (x, y, NDVI) (``utils/utils.py:500-505`` features),
+2. static-shape cluster grouping via a stable argsort (capacities are static),
+3. the batched window encoder + attention forward,
+4. scatter of per-cluster predictions back to original point order.
+
+Static shapes come from *replicate padding*: the cloud is padded up to ``k × cap``
+points by duplicating random real points (the same trick the reference's offline
+tiler uses to reach k·2048, ``3_kmeans.py:64-69``); duplicate predictions are simply
+dropped on the way out. One compiled program per cluster-count ``k`` (≤ max_clusters),
+reused across every cloud that tiles to ``k`` clusters.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ampnet_tpu.core.config import AMPNetConfig
+from ampnet_tpu.core.logging import append_results_csv
+from ampnet_tpu.core.metrics import confusion_matrix, iou_from_confusion
+from ampnet_tpu.data.schema import SEG_CLASS_NAMES
+from ampnet_tpu.ops.kmeans import balanced_kmeans, num_tiles_test
+
+KMEANS_FEATURE_IDX = (0, 1, 8)  # x, y, NDVI of the 9-feature layout
+
+
+class TiledInferencer:
+    def __init__(
+        self,
+        model,
+        variables,
+        cfg: AMPNetConfig,
+        n_points: Optional[int] = None,
+        max_clusters: Optional[int] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.n_points = n_points or cfg.data.n_points
+        self.max_clusters = max_clusters or cfg.data.max_clusters_test
+        self.cap = 2 * self.n_points  # static per-cluster size after replicate-padding
+        self._fns: Dict[tuple, callable] = {}
+
+    def _cap_for(self, n: int, k: int) -> int:
+        if k > 1:
+            return self.cap
+        # single-window clouds (N < 2·n_points): bucket to one or two n_points
+        return self.n_points if n <= self.n_points else 2 * self.n_points
+
+    def _bucket_fn(self, k: int, cap: int):
+        """Jitted whole-pipeline program for clouds tiling into k clusters of cap pts."""
+        if (k, cap) in self._fns:
+            return self._fns[(k, cap)]
+        model = self.model
+
+        @jax.jit
+        def run(variables, points: jnp.ndarray, key: jax.Array):
+            # points: [k*cap, 9] (already replicate-padded on host)
+            n = points.shape[0]
+            if k > 1:
+                feats = points[:, KMEANS_FEATURE_IDX]
+                assign, _ = balanced_kmeans(
+                    feats, k, key, capacities=(cap,) * k, exact=True
+                )
+                order = jnp.argsort(assign, stable=True)
+            else:
+                order = jnp.arange(n)
+            windows = points[order].reshape(1, k, cap, points.shape[-1])
+            centroids = windows[..., :2].mean(axis=2)  # [1, k, 2]
+            logits, _, _ = model.apply(
+                variables, windows, centroids, None, train=False
+            )
+            preds = jnp.argmax(logits, axis=-1).reshape(-1)  # [k*cap]
+            flat = jnp.zeros((n,), preds.dtype).at[order].set(preds)
+            return flat, order
+
+        self._fns[(k, cap)] = run
+        return run
+
+    def predict(self, points9: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Per-point class predictions for one [N, 9] cloud of any size."""
+        n = points9.shape[0]
+        k = num_tiles_test(n, self.n_points, self.max_clusters)
+        cap = self._cap_for(n, k)
+        target = k * cap
+        rng = np.random.default_rng(seed)
+        if target >= n:
+            dup = rng.integers(0, n, target - n)
+            padded = np.concatenate([points9, points9[dup]], axis=0)
+        else:  # enormous clouds beyond max_clusters*cap: random subsample (the
+            # reference caps clusters the same way, utils.py:494-495)
+            keep = rng.permutation(n)[:target]
+            padded = points9[keep]
+        run = self._bucket_fn(k, cap)
+        flat, _ = run(self.variables, jnp.asarray(padded, jnp.float32), jax.random.PRNGKey(seed))
+        flat = np.asarray(flat)
+        if target >= n:
+            return flat[:n]
+        out = np.zeros((n,), flat.dtype)
+        out[keep] = flat
+        # points dropped by the cap get the overall majority class of kept points
+        if target < n:
+            dropped = np.ones(n, bool)
+            dropped[keep] = False
+            out[dropped] = np.bincount(flat, minlength=1).argmax()
+        return out
+
+
+def evaluate_cloud(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> Dict:
+    """Per-cloud metrics like the reference tester (test_pointnet_att_segmen.py:186-219):
+    IoU per class present, mIoU over present classes, overall accuracy."""
+    cm = np.asarray(confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), num_classes))
+    iou, valid = iou_from_confusion(jnp.asarray(cm))
+    iou, valid = np.asarray(iou), np.asarray(valid)
+    out = {"oa": float(np.diag(cm).sum() / max(cm.sum(), 1))}
+    for c, name in enumerate(SEG_CLASS_NAMES[:num_classes]):
+        out[f"iou_{name}"] = float(iou[c]) if valid[c] else float("nan")
+    out["miou"] = float(iou[valid].mean()) if valid.any() else float("nan")
+    out["confusion"] = cm
+    return out
+
+
+def evaluate_dataset(
+    inferencer: TiledInferencer,
+    dataset,
+    out_csv: Optional[str] = None,
+    model_name: str = "ampnet_tpu",
+) -> Dict:
+    """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
+    summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284)."""
+    num_classes = inferencer.cfg.model.num_classes
+    rows: List[Dict] = []
+    total_cm = np.zeros((num_classes, num_classes))
+    t0 = time.time()
+    n_points_total = 0
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        preds = inferencer.predict(sample["points"], seed=i)
+        m = evaluate_cloud(preds, sample["labels"], num_classes)
+        total_cm += m.pop("confusion")
+        n_points_total += len(preds)
+        rows.append({"name": sample["name"], **m})
+    minutes = (time.time() - t0) / 60
+
+    iou, valid = iou_from_confusion(jnp.asarray(total_cm))
+    iou, valid = np.asarray(iou), np.asarray(valid)
+    summary = {
+        "model": model_name,
+        "n_points": inferencer.n_points,
+        **{
+            f"iou_{n}": (float(iou[c]) if valid[c] else float("nan"))
+            for c, n in enumerate(SEG_CLASS_NAMES[:num_classes])
+        },
+        "miou": float(iou[valid].mean()) if valid.any() else float("nan"),
+        "oa": float(np.diag(total_cm).sum() / max(total_cm.sum(), 1)),
+        "inference_minutes": round(minutes, 4),
+        "points_per_sec": round(n_points_total / max(time.time() - t0, 1e-9), 1),
+        "n_clouds": len(rows),
+    }
+    if out_csv:
+        append_results_csv(out_csv, summary)
+    return {"summary": summary, "per_cloud": rows}

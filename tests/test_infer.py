@@ -1,0 +1,111 @@
+"""Tiled-inference tests: stitching mechanics across cloud sizes + CSV output."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from ampnet_tpu.core.config import AMPNetConfig, DataConfig, ModelConfig
+from ampnet_tpu.data.synthetic import synthetic_scene
+from ampnet_tpu.data.schema import remap_segmentation_labels
+from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_cloud, evaluate_dataset
+from ampnet_tpu.models.amp import AMPNetSegmenter
+
+
+N_POINTS = 256  # small window size keeps CPU tests fast
+
+
+@pytest.fixture(scope="module")
+def inferencer():
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=N_POINTS, max_clusters_test=6),
+        model=ModelConfig(),
+    )
+    model = AMPNetSegmenter(cfg.model)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1, 2, N_POINTS, 9)).astype(np.float32)
+    cent = rng.normal(size=(1, 2, 2)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), pts, cent, None)
+    return TiledInferencer(model, variables, cfg)
+
+
+def make_cloud(rng, n):
+    sc = synthetic_scene(rng, n_points=n)[:n]
+    feats = np.concatenate([sc[:, 0:3], sc[:, 4:10]], axis=1).astype(np.float32)
+    feats[:, 0] = feats[:, 0] * 2 - 1
+    feats[:, 1] = feats[:, 1] * 2 - 1
+    labels = np.asarray(remap_segmentation_labels(sc[:, 3])).astype(np.int32)
+    return feats, labels
+
+
+@pytest.mark.parametrize(
+    "n",
+    [
+        100,  # < n_points: single window, duplicate-padded
+        300,  # between n_points and 2n: single window of 2*n_points
+        1200,  # 4 clusters
+        4000,  # > max_clusters*n_points: k capped at 6
+    ],
+)
+def test_predict_covers_every_point(inferencer, n):
+    rng = np.random.default_rng(n)
+    feats, _ = make_cloud(rng, n)
+    preds = inferencer.predict(feats, seed=1)
+    assert preds.shape == (n,)
+    assert ((preds >= 0) & (preds < 5)).all()
+
+
+def test_cap_subsample_path(inferencer):
+    """Clouds beyond max_clusters*cap trigger the subsample branch and still yield
+    a prediction for every point."""
+    rng = np.random.default_rng(0)
+    n = 6 * 2 * N_POINTS + 500
+    feats, _ = make_cloud(rng, n)
+    preds = inferencer.predict(feats, seed=0)
+    assert preds.shape == (n,)
+
+
+def test_bucket_fn_reuse(inferencer):
+    rng = np.random.default_rng(1)
+    feats, _ = make_cloud(rng, 1200)
+    inferencer.predict(feats)
+    before = len(inferencer._fns)
+    feats, _ = make_cloud(rng, 1300)  # same (k, cap) bucket as 1200
+    inferencer.predict(feats)
+    assert len(inferencer._fns) == before
+
+
+def test_evaluate_cloud_metrics():
+    preds = np.array([0, 0, 1, 1, 2, 2])
+    labels = np.array([0, 0, 1, 0, 2, 2])
+    m = evaluate_cloud(preds, labels, 5)
+    assert m["oa"] == pytest.approx(5 / 6)
+    assert m["iou_background"] == pytest.approx(2 / 3)  # TP=2, FN=1, FP=0
+    assert m["iou_tower"] == pytest.approx(1 / 2)  # TP=1, FP=1
+    assert np.isnan(m["iou_low_med_veg"])  # class absent from preds+labels
+
+
+class CloudListDataset:
+    def __init__(self, clouds):
+        self.clouds = clouds
+
+    def __len__(self):
+        return len(self.clouds)
+
+    def __getitem__(self, i):
+        f, l = self.clouds[i]
+        return {"points": f, "labels": l, "name": f"cloud{i}"}
+
+
+def test_evaluate_dataset_csv(inferencer, tmp_path):
+    rng = np.random.default_rng(2)
+    ds = CloudListDataset([make_cloud(rng, 700), make_cloud(rng, 1100)])
+    csv_path = str(tmp_path / "iou_results.csv")
+    out = evaluate_dataset(inferencer, ds, out_csv=csv_path)
+    assert out["summary"]["n_clouds"] == 2
+    assert 0.0 <= out["summary"]["oa"] <= 1.0
+    assert os.path.exists(csv_path)
+    header = open(csv_path).readline()
+    for field in ("iou_tower", "miou", "oa", "inference_minutes"):
+        assert field in header

@@ -71,7 +71,7 @@ def test_bucket_fn_reuse(inferencer):
     feats, _ = make_cloud(rng, 1200)
     inferencer.predict(feats)
     before = len(inferencer._fns)
-    feats, _ = make_cloud(rng, 1300)  # same (k, cap) bucket as 1200
+    feats, _ = make_cloud(rng, 1270)  # same (k, cap) bucket as 1200
     inferencer.predict(feats)
     assert len(inferencer._fns) == before
 

@@ -1,0 +1,420 @@
+"""Command-line surface mirroring the reference repo's entry points (README.md:20-46):
+
+    ampnet synth       — generate a synthetic LAS dataset (demo / testing)
+    ampnet preprocess  — windows → HAG → filter/norm → k-means tiling → split lists
+                         (the reference's data_proc stages 1–4 + pdal_hag.sh)
+    ampnet train       — train {attention, gru, baseline, classic} × {segmentation,
+                         classification} (the reference's six train scripts)
+    ampnet test        — arbitrary-scale tiled evaluation + IoU CSV
+                         (test_pointnet_att_segmen.py / test_segmentation.py)
+    ampnet infer       — label-free per-point predictions
+    ampnet demo        — synthetic end-to-end: synth → preprocess → train → test
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_synth(args) -> int:
+    """Write synthetic LAS tiles (with ground points so the HAG stage has work)."""
+    from ampnet_tpu.data.las_io import LasCloud, write_las
+    from ampnet_tpu.data.synthetic import synthetic_scene
+
+    os.makedirs(args.out_path, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.n_tiles):
+        parts = []
+        for _ in range(args.windows_per_tile):
+            parts.append(synthetic_scene(rng, n_points=args.points_per_window,
+                                         extent_m=args.window_size))
+        # place windows side by side in raw coordinates
+        clouds = []
+        for w, sc in enumerate(parts):
+            c = sc.copy()
+            c[:, 10] = sc[:, 0] * args.window_size + 430000 + w * args.window_size
+            c[:, 11] = sc[:, 1] * args.window_size + 4590000 + i * args.window_size
+            clouds.append(c)
+        sc = np.concatenate(clouds)
+        n = len(sc)
+        # ground points at z=0 (class 2) so HAG has a terrain reference
+        n_g = n // 4
+        gx = rng.uniform(sc[:, 10].min(), sc[:, 10].max(), n_g)
+        gy = rng.uniform(sc[:, 11].min(), sc[:, 11].max(), n_g)
+        cloud = LasCloud(
+            x=np.concatenate([sc[:, 10], gx]),
+            y=np.concatenate([sc[:, 11], gy]),
+            z=np.concatenate([sc[:, 12], np.zeros(n_g)]),
+            intensity=np.concatenate([sc[:, 4] * 5000, rng.uniform(0, 5000, n_g)]),
+            classification=np.concatenate([sc[:, 3], np.full(n_g, 2)]).astype(np.int64),
+            red=np.concatenate([sc[:, 5] * 65535, rng.uniform(0, 65535, n_g)]),
+            green=np.concatenate([sc[:, 6] * 65535, rng.uniform(0, 65535, n_g)]),
+            blue=np.concatenate([sc[:, 7] * 65535, rng.uniform(0, 65535, n_g)]),
+            nir=np.concatenate([sc[:, 8] * 65535, rng.uniform(0, 65535, n_g)]),
+        )
+        write_las(os.path.join(args.out_path, f"tile{i}.las"), cloud, point_format=8)
+    print(f"wrote {args.n_tiles} synthetic LAS tiles to {args.out_path}")
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    from ampnet_tpu.data.io_utils import save_cloud
+    from ampnet_tpu.data.las_io import read_las
+    from ampnet_tpu.preproc.filter_norm import filter_and_normalize
+    from ampnet_tpu.preproc.hag import height_above_ground_grid
+    from ampnet_tpu.preproc.splits import generate_split_lists
+    from ampnet_tpu.preproc.tiling import kmeans_tile_cloud
+    from ampnet_tpu.preproc.window_split import split_tile_into_windows, window_file_name
+
+    os.makedirs(args.out_path, exist_ok=True)
+    tiles = sorted(glob.glob(os.path.join(args.in_path, "*.las")))
+    if not tiles:
+        print(f"no LAS tiles in {args.in_path}", file=sys.stderr)
+        return 1
+
+    produced = []
+    for tile_path in tiles:
+        tile_name = os.path.splitext(os.path.basename(tile_path))[0]
+        las = read_las(tile_path)
+        # stage pdal_hag.sh equivalent: HeightAboveGround
+        hag = las.height_above_ground
+        if hag is None:
+            hag = height_above_ground_grid(las.x, las.y, las.z, las.classification,
+                                           cell=args.hag_cell)
+        tile = np.vstack(
+            [las.x, las.y, hag, las.classification, las.intensity,
+             las.red if las.red is not None else np.zeros(len(las)),
+             las.green if las.green is not None else np.zeros(len(las)),
+             las.blue if las.blue is not None else np.zeros(len(las)),
+             las.nir if las.nir is not None else np.zeros(len(las))]
+        )
+        # stage 1: fixed-footprint windows
+        windows = split_tile_into_windows(tile, (args.window_size, args.window_size))
+        for w in windows:
+            pts = w["points"]
+            # stage 2: filter + normalize into the 13-column schema
+            pc, prefix = filter_and_normalize(
+                x=pts[0], y=pts[1], hag=pts[2], classification=pts[3],
+                intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7], nir=pts[8],
+                max_z=args.max_z, min_points=args.min_points,
+            )
+            if pc is None:
+                continue
+            name = window_file_name(prefix, args.dataset, tile_name, w["window_id"])
+            save_cloud(os.path.join(args.out_path, name + ".pkl"), pc)
+            # stage 3: balanced k-means tiling artifact
+            windowed = kmeans_tile_cloud(pc, n_points=args.n_points,
+                                         max_clusters=args.max_windows)
+            save_cloud(os.path.join(args.out_path, f"kmeans_{name}.npz"), windowed)
+            produced.append(name + ".pkl")
+
+    # stage 4: split lists
+    generate_split_lists(
+        produced, args.out_path, task="segmentation",
+        fractions={"train": 0.7, "val": 0.15, "test": 0.15}, seed=args.seed,
+    )
+    print(f"preprocessed {len(produced)} windows from {len(tiles)} tiles → {args.out_path}")
+    return 0
+
+
+def _load_lists(path_list_files: str, task: str):
+    from ampnet_tpu.data.io_utils import read_split_list
+
+    tag = "seg_files" if task == "segmentation" else "files"
+    out = {}
+    for split in ("train", "val", "test"):
+        p = os.path.join(path_list_files, f"{split}_{tag}.txt")
+        if not os.path.exists(p) and task != "segmentation":
+            p = os.path.join(path_list_files, f"{split}_seg_files.txt")
+        out[split] = read_split_list(p) if os.path.exists(p) else []
+    return out
+
+
+def _build_cfg(args):
+    from ampnet_tpu.core.config import AMPNetConfig, DataConfig, ModelConfig, TrainConfig
+
+    return AMPNetConfig(
+        data=DataConfig(n_points=args.number_of_points, max_windows=args.number_of_windows),
+        model=ModelConfig(context="attention" if args.arch == "attention" else args.arch),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            weighing_method=args.weighing_method,
+            seed=args.seed,
+        ),
+    )
+
+
+def cmd_train(args) -> int:
+    from ampnet_tpu.core.metrics import get_class_weights
+    from ampnet_tpu.data.datasets import CloudDataset, WindowedCloudDataset
+    from ampnet_tpu.data.pipeline import PaddedBatcher, SingleCloudBatcher
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.trainer import Trainer
+
+    cfg = _build_cfg(args)
+    lists = _load_lists(args.path_list_files, args.task)
+    if not lists["train"]:
+        print("empty train list", file=sys.stderr)
+        return 1
+
+    windowed = args.arch in ("attention", "gru")
+    mk_kw = dict(task=args.task)
+    if windowed:
+        train_ds = WindowedCloudDataset(args.dataset_path, lists["train"], **mk_kw)
+        val_ds = WindowedCloudDataset(args.dataset_path, lists["val"], **mk_kw) if lists["val"] else None
+        mk_batch = lambda ds, seed: PaddedBatcher(
+            ds, args.batch_size, n_points=args.number_of_points,
+            max_windows=args.number_of_windows, seed=seed,
+            drop_last=len(ds) >= args.batch_size,
+        )
+    else:
+        train_ds = CloudDataset(args.dataset_path, lists["train"],
+                                number_of_points=args.number_of_points, **mk_kw)
+        val_ds = (
+            CloudDataset(args.dataset_path, lists["val"],
+                         number_of_points=args.number_of_points, **mk_kw)
+            if lists["val"] else None
+        )
+        mk_batch = lambda ds, seed: SingleCloudBatcher(
+            ds, args.batch_size, n_points=args.number_of_points, seed=seed,
+            drop_last=len(ds) >= args.batch_size,
+        )
+
+    model = build_model(cfg, args.arch, args.task)
+    trainer = Trainer(
+        cfg, model, mk_batch(train_ds, cfg.train.seed),
+        mk_batch(val_ds, cfg.train.seed + 1) if val_ds is not None else None,
+        args.out_path, name=f"{args.arch}_{args.task}", task=args.task,
+    )
+    if args.task == "classification":
+        from ampnet_tpu.train.cls_step import make_cls_step_fns
+
+        counts = [getattr(train_ds, "len_landscape", 1), getattr(train_ds, "len_towers", 1)]
+        cw = get_class_weights(args.weighing_method, [max(c, 1) for c in counts],
+                               beta=cfg.train.beta)
+        trainer.train_step, trainer.eval_step = make_cls_step_fns(cfg, cw)
+    if args.model_checkpoint:
+        trainer.resume(args.model_checkpoint)
+    history = trainer.fit(args.epochs)
+    last = history["val"][-1] if history["val"] else history["train"][-1]
+    print(json.dumps({k: v for k, v in last.items() if np.isfinite(v)}, indent=2))
+    print(f"checkpoints + logs in {args.out_path}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    import jax
+
+    from ampnet_tpu.core.checkpoint import CheckpointManager
+    from ampnet_tpu.core.config import AMPNetConfig
+    from ampnet_tpu.data.datasets import EvalCloudDataset
+    from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_dataset
+    from ampnet_tpu.models.factory import build_model
+
+    ckpt_dir, ckpt_name = os.path.split(args.model_checkpoint.rstrip("/"))
+    mgr = CheckpointManager(ckpt_dir)
+    if not mgr.exists(ckpt_name):
+        print(f"checkpoint not found: {args.model_checkpoint}", file=sys.stderr)
+        return 1
+    meta = mgr.load_meta(ckpt_name)
+    cfg = AMPNetConfig.from_json(json.dumps(meta["config"])) if meta.get("config") else AMPNetConfig()
+
+    model = build_model(cfg, args.arch, "segmentation")
+    lists = _load_lists(args.path_list_files, "segmentation")
+    files = lists["test"] or lists["val"]
+    ds = EvalCloudDataset(args.dataset_path, files)
+
+    # restore params through a template state
+    from ampnet_tpu.data.synthetic import synthetic_batch
+    from ampnet_tpu.train.state import create_train_state
+
+    batch = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
+             for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    state, _ = mgr.restore(ckpt_name, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    inferencer = TiledInferencer(model, variables, cfg,
+                                 max_clusters=args.max_clusters)
+    out = evaluate_dataset(
+        inferencer, ds,
+        out_csv=os.path.join(args.out_path, "IoU-results.csv"),
+        model_name=ckpt_name,
+    )
+    print(json.dumps(out["summary"], indent=2))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from ampnet_tpu.core.checkpoint import CheckpointManager
+    from ampnet_tpu.core.config import AMPNetConfig
+    from ampnet_tpu.data.datasets import InferenceCloudDataset
+    from ampnet_tpu.data.schema import select_model_features, normalize_xy_neg_one
+    from ampnet_tpu.infer.tiled import TiledInferencer
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.data.synthetic import synthetic_batch
+    from ampnet_tpu.train.state import create_train_state
+    import jax.numpy as jnp
+
+    ckpt_dir, ckpt_name = os.path.split(args.model_checkpoint.rstrip("/"))
+    mgr = CheckpointManager(ckpt_dir)
+    if not mgr.exists(ckpt_name):
+        print(f"checkpoint not found: {args.model_checkpoint}", file=sys.stderr)
+        return 1
+    meta = mgr.load_meta(ckpt_name)
+    cfg = AMPNetConfig.from_json(json.dumps(meta["config"])) if meta.get("config") else AMPNetConfig()
+    model = build_model(cfg, args.arch, "segmentation")
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    state, _ = mgr.restore(ckpt_name, state)
+    inferencer = TiledInferencer(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
+    )
+
+    files = [os.path.basename(f) for f in sorted(glob.glob(os.path.join(args.dataset_path, "*.pkl")))]
+    ds = InferenceCloudDataset(args.dataset_path, files)
+    os.makedirs(args.out_path, exist_ok=True)
+    for i in range(len(ds)):
+        sample = ds[i]
+        feats = normalize_xy_neg_one(select_model_features(sample["points"]))
+        preds = inferencer.predict(feats, seed=i)
+        np.save(os.path.join(args.out_path, sample["name"] + "_preds.npy"), preds)
+    print(f"wrote predictions for {len(ds)} clouds to {args.out_path}")
+    return 0
+
+
+def cmd_demo(args) -> int:
+    """End-to-end on synthetic data: synth → preprocess → train → test."""
+    base = args.out_path
+    a = argparse.Namespace(
+        out_path=os.path.join(base, "las"), n_tiles=args.n_tiles,
+        windows_per_tile=3, points_per_window=args.points_per_window,
+        window_size=100.0, seed=0,
+    )
+    if cmd_synth(a):
+        return 1
+    b = argparse.Namespace(
+        in_path=os.path.join(base, "las"), out_path=os.path.join(base, "data"),
+        dataset="SYNTH", window_size=100.0, max_z=100.0, min_points=256,
+        n_points=args.number_of_points, max_windows=5, hag_cell=2.0, seed=0,
+    )
+    if cmd_preprocess(b):
+        return 1
+    c = argparse.Namespace(
+        dataset_path=os.path.join(base, "data"),
+        path_list_files=os.path.join(base, "data"),
+        out_path=os.path.join(base, "run"),
+        task="segmentation", arch=args.arch, number_of_points=args.number_of_points,
+        number_of_windows=5, batch_size=2, epochs=args.epochs,
+        learning_rate=1e-3, weighing_method="EFS", seed=0, model_checkpoint="",
+    )
+    if cmd_train(c):
+        return 1
+    d = argparse.Namespace(
+        dataset_path=os.path.join(base, "data"),
+        path_list_files=os.path.join(base, "data"),
+        out_path=os.path.join(base, "run"),
+        model_checkpoint=os.path.join(base, "run", "checkpoints",
+                                      f"{args.arch}_segmentation_best"),
+        arch=args.arch, max_clusters=6,
+    )
+    return cmd_test(d)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ampnet", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("synth", help="generate synthetic LAS tiles")
+    s.add_argument("--out_path", required=True)
+    s.add_argument("--n_tiles", type=int, default=4)
+    s.add_argument("--windows_per_tile", type=int, default=3)
+    s.add_argument("--points_per_window", type=int, default=8000)
+    s.add_argument("--window_size", type=float, default=100.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_synth)
+
+    s = sub.add_parser("preprocess", help="LAS tiles → windows → 13-col pkl + kmeans artifacts")
+    s.add_argument("--in_path", required=True)
+    s.add_argument("--out_path", required=True)
+    s.add_argument("--dataset", default="DATA")
+    s.add_argument("--window_size", type=float, default=100.0)
+    s.add_argument("--max_z", type=float, default=100.0)
+    s.add_argument("--min_points", type=int, default=1024)
+    s.add_argument("--n_points", type=int, default=2048)
+    s.add_argument("--max_windows", type=int, default=9)
+    s.add_argument("--hag_cell", type=float, default=2.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("train", help="train a model")
+    s.add_argument("dataset_path")
+    s.add_argument("--task", choices=["segmentation", "classification"],
+                   default="segmentation")
+    s.add_argument("--arch", choices=["attention", "gru", "baseline", "classic"],
+                   default="attention")
+    s.add_argument("--path_list_files", default="train_test_files/RGBN_100x100")
+    s.add_argument("--out_path", default="results")
+    s.add_argument("--number_of_points", type=int, default=2048)
+    s.add_argument("--number_of_windows", type=int, default=9)
+    s.add_argument("--batch_size", type=int, default=32)
+    s.add_argument("--epochs", type=int, default=500)
+    s.add_argument("--learning_rate", type=float, default=1e-3)
+    s.add_argument("--weighing_method", default="EFS")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--model_checkpoint", default="")
+    s.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("test", help="tiled evaluation with IoU CSV")
+    s.add_argument("dataset_path")
+    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--path_list_files", required=True)
+    s.add_argument("--out_path", default="results")
+    s.add_argument("--arch", default="attention")
+    s.add_argument("--max_clusters", type=int, default=18)
+    s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("infer", help="label-free predictions")
+    s.add_argument("dataset_path")
+    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--out_path", default="predictions")
+    s.add_argument("--arch", default="attention")
+    s.set_defaults(fn=cmd_infer)
+
+    s = sub.add_parser("demo", help="synthetic end-to-end pipeline")
+    s.add_argument("--out_path", default="/tmp/ampnet_demo")
+    s.add_argument("--arch", default="attention")
+    s.add_argument("--n_tiles", type=int, default=3)
+    s.add_argument("--points_per_window", type=int, default=6000)
+    s.add_argument("--number_of_points", type=int, default=512)
+    s.add_argument("--epochs", type=int, default=3)
+    s.set_defaults(fn=cmd_demo)
+    return p
+
+
+def main(argv=None) -> int:
+    # honor AMPNET_PLATFORM=cpu|tpu|axon: environments whose plugins force-select a
+    # platform via jax.config (overriding JAX_PLATFORMS) need an explicit knob
+    platform = os.environ.get("AMPNET_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

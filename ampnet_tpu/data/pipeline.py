@@ -141,6 +141,41 @@ class PaddedBatcher:
             raise err[0]
 
 
+class SingleCloudBatcher(PaddedBatcher):
+    """Batcher for whole-cloud datasets (CloudDataset): presents each cloud as a
+    one-window sample so the same [B, W, N, F] contract serves the baseline models
+    (replaces the default torch collate used by baseline/train_segmentation.py)."""
+
+    def __init__(self, dataset, batch_size, n_points=4096, **kw):
+        kw.pop("max_windows", None)
+        super().__init__(dataset, batch_size, n_points=n_points, max_windows=1, **kw)
+
+    def _make_batches(self, rng: np.random.Generator) -> Iterator[Dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            samples = []
+            for i in idxs:
+                s = self.dataset[int(i)]
+                pts, lbl = s["points"][None], s["labels"][None]  # [1, N, F], [1, N]
+                cent = pts[:, :, :2].mean(axis=1)
+                samples.append(dict(s, points=pts, labels=lbl, centroids=cent))
+            samples = [
+                pad_windowed_sample(s, self.n_points, 1, rng) for s in samples
+            ]
+            batch = {
+                "points": np.stack([s["points"] for s in samples]),
+                "labels": np.stack([s["labels"] for s in samples]),
+                "centroids": np.stack([s["centroids"] for s in samples]),
+                "names": [s["name"] for s in samples],
+            }
+            if "cls_label" in samples[0]:
+                batch["cls_label"] = np.asarray([s["cls_label"] for s in samples])
+            yield batch
+
+
 def to_device_batch(batch: Dict, mesh=None) -> Dict:
     """Move the array fields of a host batch onto the device(s)."""
     import jax

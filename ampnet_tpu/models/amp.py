@@ -153,17 +153,19 @@ class GRUContext(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:  # [B, W, H]
         cfg = self.cfg
-        cell = nn.GRUCell(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
-        B = global_feats.shape[0]
-        carry = cell.initialize_carry(jax.random.PRNGKey(0), (B, cfg.global_feat))
-        carry = jnp.zeros_like(carry)
-
-        def step(carry, x):
-            carry, y = cell(carry, x)
-            return carry, y
-
-        _, ys = jax.lax.scan(step, carry, global_feats.swapaxes(0, 1))
-        return ys.swapaxes(0, 1)
+        # lifted scan over the window axis (plain lax.scan would leak module tracers)
+        ScanGRU = nn.scan(
+            nn.GRUCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        cell = ScanGRU(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
+        b = global_feats.shape[0]
+        carry = jnp.zeros((b, cfg.gru_hidden), global_feats.dtype)
+        _, ys = cell(carry, global_feats)
+        return ys
 
 
 class SegmentationHead(nn.Module):

@@ -35,13 +35,13 @@ def multistep_adam(
 ) -> optax.GradientTransformation:
     """Adam + epoch-milestone LR decay (MultiStepLR semantics,
     train_pointnet-attention.py:144-149), expressed as a step-count schedule."""
-    if milestones and steps_per_epoch > 0:
-        schedule = optax.piecewise_constant_schedule(
-            init_value=learning_rate,
-            boundaries_and_scales={int(m) * steps_per_epoch: gamma for m in milestones},
-        )
-    else:
-        schedule = learning_rate
+    spe = max(int(steps_per_epoch), 1)
+    # always a schedule (even when constant) so the optimizer state pytree has one
+    # stable structure across train/restore regardless of steps_per_epoch
+    schedule = optax.piecewise_constant_schedule(
+        init_value=learning_rate,
+        boundaries_and_scales={int(m) * spe: gamma for m in (milestones or ())},
+    )
     return optax.adam(schedule)
 
 

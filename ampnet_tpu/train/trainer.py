@@ -30,18 +30,23 @@ from ampnet_tpu.train.state import create_train_state
 from ampnet_tpu.train.step import make_step_fns
 
 IOU_TAGS = ("bckg", "tower", "cables", "low_veg", "high_veg")
+CLS_TAGS = ("no_tower", "tower")
 
 
 def _epoch_metrics(confusions: List[np.ndarray], losses: Dict[str, List[float]]) -> Dict:
     """Host-side aggregation mirroring the reference's per-batch-mean convention
     (train_pointnet-attention.py:232-241 appends per-batch IoU and averages)."""
     out = {k: float(np.mean(v)) for k, v in losses.items() if v}
-    per_batch_iou = {t: [] for t in IOU_TAGS}
+    n_cls = confusions[0].shape[0]
+    tags = IOU_TAGS if n_cls == len(IOU_TAGS) else (
+        CLS_TAGS if n_cls == 2 else tuple(f"class{i}" for i in range(n_cls))
+    )
+    per_batch_iou = {t: [] for t in tags}
     total_cm = np.zeros_like(confusions[0])
     for cm in confusions:
         total_cm += cm
-        iou, valid = iou_from_confusion(cm)
-        for c, tag in enumerate(IOU_TAGS):
+        iou, valid = (np.asarray(a) for a in iou_from_confusion(cm))
+        for c, tag in enumerate(tags):
             if bool(valid[c]):
                 per_batch_iou[tag].append(float(iou[c]))
     for tag, vals in per_batch_iou.items():

@@ -1,0 +1,131 @@
+"""Visualization utilities — counterpart of the reference ``utils/utils_plot.py``.
+
+Provides the 3-D prediction-vs-ground-truth scatter with the fixed 5-class colormap
+(``utils_plot.py:100-171``), per-window tiling plots (``:207-262``), and loss/IoU
+curves from the trainer's CSV logs. matplotlib with the Agg backend; figures can be
+saved to disk and/or logged to TensorBoard through MetricsLogger's writer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ampnet_tpu.data.schema import SEG_CLASS_NAMES  # noqa: E402
+
+# fixed class colormap, matching the reference's convention of a distinct color per
+# semantic class (utils_plot.py:104-118)
+CLASS_COLORS = {
+    0: "#9e9e9e",  # background — grey
+    1: "#d62728",  # tower — red
+    2: "#1f77b4",  # power lines — blue
+    3: "#98df8a",  # low/med vegetation — light green
+    4: "#2ca02c",  # high vegetation — green
+}
+
+
+def _scatter(ax, pc: np.ndarray, labels: np.ndarray, title: str, point_size: float):
+    for c, color in CLASS_COLORS.items():
+        m = labels == c
+        if m.any():
+            ax.scatter(pc[m, 0], pc[m, 1], pc[m, 2], s=point_size, c=color,
+                       label=SEG_CLASS_NAMES[c], depthshade=False)
+    ax.set_title(title)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+
+
+def plot_predictions_vs_truth(
+    points: np.ndarray,  # [N, >=3] — xyz in the first three columns
+    preds: np.ndarray,
+    targets: Optional[np.ndarray] = None,
+    save_to: Optional[str] = None,
+    point_size: float = 1.0,
+    title: str = "",
+):
+    """Side-by-side 3-D scatter of predictions and ground truth
+    (reference plot_pointcloud_with_labels, utils_plot.py:100-171)."""
+    ncols = 2 if targets is not None else 1
+    fig = plt.figure(figsize=(7 * ncols, 6))
+    ax = fig.add_subplot(1, ncols, 1, projection="3d")
+    _scatter(ax, points, np.asarray(preds), f"{title} predictions", point_size)
+    ax.legend(loc="upper right", fontsize=7)
+    if targets is not None:
+        ax2 = fig.add_subplot(1, ncols, 2, projection="3d")
+        _scatter(ax2, points, np.asarray(targets), f"{title} ground truth", point_size)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def plot_windows(
+    points: np.ndarray,  # [N, >=2]
+    assignment: np.ndarray,  # [N] window/cluster ids
+    save_to: Optional[str] = None,
+    title: str = "k-means windows",
+):
+    """Top-down view of the balanced k-means tiling (reference 3_kmeans plotting,
+    utils_plot.py:207-262)."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    k = int(np.max(assignment)) + 1
+    cmap = plt.get_cmap("tab20")
+    for c in range(k):
+        m = assignment == c
+        ax.scatter(points[m, 0], points[m, 1], s=1.0, color=cmap(c % 20), label=f"w{c}")
+    ax.set_title(f"{title} (k={k})")
+    ax.set_aspect("equal")
+    if k <= 12:
+        ax.legend(markerscale=6, fontsize=7)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def plot_training_curves(
+    scalars_csv: str,
+    tags: Sequence[str] = ("loss", "miou", "accuracy"),
+    save_to: Optional[str] = None,
+):
+    """Loss/metric curves from a MetricsLogger scalars.csv
+    (reference plot_losses/plot_accuracies, utils_plot.py:13-60)."""
+    import csv
+
+    series = {}
+    with open(scalars_csv) as f:
+        for row in csv.DictReader(f):
+            series.setdefault(row["tag"], []).append((int(row["step"]), float(row["value"])))
+    present = [t for t in tags if t in series]
+    fig, axes = plt.subplots(1, max(len(present), 1), figsize=(5 * max(len(present), 1), 4))
+    if len(present) <= 1:
+        axes = [axes]
+    for ax, tag in zip(axes, present):
+        xs, ys = zip(*sorted(series[tag]))
+        ax.plot(xs, ys)
+        ax.set_title(tag)
+        ax.set_xlabel("epoch")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def log_figure_to_tensorboard(logger, tag: str, fig, step: int) -> None:
+    """Write a matplotlib figure into a MetricsLogger's TensorBoard stream
+    (reference plot_pc_tensorboard, utils_plot.py:174-204)."""
+    if getattr(logger, "_tb", None) is not None:
+        logger._tb.add_figure(tag, fig, step)
+    plt.close(fig)

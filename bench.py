@@ -73,9 +73,10 @@ def measure_tpu(iters: int = 30) -> dict:
     @jax.jit
     def forward(variables, pts, cent, pad, carry):
         logits, _, _ = model.apply(variables, pts + carry, cent, pad, train=False)
-        preds = jnp.argmax(logits, axis=-1)
-        # zero-valued scalar that depends on every prediction → serializes iterations
-        new_carry = (preds.sum() % 1).astype(pts.dtype) * 0.0
+        # data-dependent float scalar serializes iterations AND is not foldable:
+        # an integer-modulo or *0.0-style carry lets XLA dead-code-eliminate the
+        # entire network (measured: that "bench" times pure dispatch RTT)
+        new_carry = jnp.max(logits) * 1e-12
         return new_carry
 
     zero = jnp.zeros((), pts.dtype)
@@ -89,18 +90,29 @@ def measure_tpu(iters: int = 30) -> dict:
         carry = forward(variables, pts, cent, pad, carry)
     float(carry)
 
+    # latency mode: each step's input depends on the previous step's output, so
+    # host dispatch and device execution fully serialize
     t0 = time.perf_counter()
     carry = zero
     for _ in range(iters):
         carry = forward(variables, pts, cent, pad, carry)
     float(carry)  # single host fetch closes the timed region
-    dt = time.perf_counter() - t0
+    lat_dt = (time.perf_counter() - t0) / iters
 
-    total_windows = BATCH * WINDOWS * iters
+    # throughput mode: independent steps enqueue back-to-back; the device executes
+    # launches in order, so fetching the LAST result bounds all of them, while
+    # host dispatch overlaps device execution (the serving steady state)
+    t0 = time.perf_counter()
+    outs = [forward(variables, pts, cent, pad, zero) for _ in range(iters)]
+    float(outs[-1])
+    thr_dt = (time.perf_counter() - t0) / iters
+
+    per_step_windows = BATCH * WINDOWS
     return {
-        "windows_per_sec": total_windows / dt,
-        "points_per_sec": total_windows * POINTS / dt,
-        "step_ms": dt / iters * 1e3,
+        "windows_per_sec": per_step_windows / thr_dt,
+        "points_per_sec": per_step_windows * POINTS / thr_dt,
+        "throughput_step_ms": thr_dt * 1e3,
+        "latency_step_ms": lat_dt * 1e3,
         "compile_s": compile_s,
         "device": str(jax.devices()[0]),
     }

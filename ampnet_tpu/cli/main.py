@@ -210,40 +210,70 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_test(args) -> int:
+def _restore_model(args, task: str):
+    """Shared checkpoint-restore plumbing for test/infer commands."""
     import jax
+    import jax.numpy as jnp
 
     from ampnet_tpu.core.checkpoint import CheckpointManager
     from ampnet_tpu.core.config import AMPNetConfig
-    from ampnet_tpu.data.datasets import EvalCloudDataset
-    from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_dataset
+    from ampnet_tpu.data.synthetic import synthetic_batch
     from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.state import create_train_state
 
     ckpt_dir, ckpt_name = os.path.split(args.model_checkpoint.rstrip("/"))
     mgr = CheckpointManager(ckpt_dir)
     if not mgr.exists(ckpt_name):
         print(f"checkpoint not found: {args.model_checkpoint}", file=sys.stderr)
-        return 1
+        return None
     meta = mgr.load_meta(ckpt_name)
     cfg = AMPNetConfig.from_json(json.dumps(meta["config"])) if meta.get("config") else AMPNetConfig()
-
-    model = build_model(cfg, args.arch, "segmentation")
-    lists = _load_lists(args.path_list_files, "segmentation")
-    files = lists["test"] or lists["val"]
-    ds = EvalCloudDataset(args.dataset_path, files)
-
-    # restore params through a template state
-    from ampnet_tpu.data.synthetic import synthetic_batch
-    from ampnet_tpu.train.state import create_train_state
-
-    batch = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
+    model = build_model(cfg, args.arch, task)
+    batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
+    if task == "classification":
+        batch["cls_label"] = jnp.zeros((1,), jnp.int32)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
     state, _ = mgr.restore(ckpt_name, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, model, state, ckpt_name
 
-    inferencer = TiledInferencer(model, variables, cfg,
-                                 max_clusters=args.max_clusters)
+
+def cmd_test(args) -> int:
+    restored = _restore_model(args, args.task)
+    if restored is None:
+        return 1
+    cfg, model, state, ckpt_name = restored
+    lists = _load_lists(args.path_list_files, args.task)
+    files = lists["test"] or lists["val"]
+
+    if args.task == "classification":
+        from ampnet_tpu.data.datasets import CloudDataset, WindowedCloudDataset
+        from ampnet_tpu.data.pipeline import PaddedBatcher, SingleCloudBatcher
+        from ampnet_tpu.infer.classify import evaluate_classification
+        from ampnet_tpu.train.cls_step import make_cls_step_fns
+
+        if args.arch in ("attention", "gru"):
+            ds = WindowedCloudDataset(args.dataset_path, files, task="classification")
+            batcher = PaddedBatcher(ds, 4, n_points=cfg.data.n_points,
+                                    max_windows=cfg.data.max_windows,
+                                    shuffle=False, drop_last=False)
+        else:
+            ds = CloudDataset(args.dataset_path, files, task="classification",
+                              number_of_points=cfg.data.n_points)
+            batcher = SingleCloudBatcher(ds, 4, n_points=cfg.data.n_points,
+                                         shuffle=False, drop_last=False)
+        _, eval_step = make_cls_step_fns(cfg)
+        out = evaluate_classification(state, eval_step, batcher,
+                                      out_dir=args.out_path, model_name=ckpt_name)
+        print(json.dumps(out, indent=2))
+        return 0
+
+    from ampnet_tpu.data.datasets import EvalCloudDataset
+    from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_dataset
+
+    ds = EvalCloudDataset(args.dataset_path, files)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters)
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
@@ -254,30 +284,14 @@ def cmd_test(args) -> int:
 
 
 def cmd_infer(args) -> int:
-    import jax
-
-    from ampnet_tpu.core.checkpoint import CheckpointManager
-    from ampnet_tpu.core.config import AMPNetConfig
     from ampnet_tpu.data.datasets import InferenceCloudDataset
     from ampnet_tpu.data.schema import select_model_features, normalize_xy_neg_one
     from ampnet_tpu.infer.tiled import TiledInferencer
-    from ampnet_tpu.models.factory import build_model
-    from ampnet_tpu.data.synthetic import synthetic_batch
-    from ampnet_tpu.train.state import create_train_state
-    import jax.numpy as jnp
 
-    ckpt_dir, ckpt_name = os.path.split(args.model_checkpoint.rstrip("/"))
-    mgr = CheckpointManager(ckpt_dir)
-    if not mgr.exists(ckpt_name):
-        print(f"checkpoint not found: {args.model_checkpoint}", file=sys.stderr)
+    restored = _restore_model(args, "segmentation")
+    if restored is None:
         return 1
-    meta = mgr.load_meta(ckpt_name)
-    cfg = AMPNetConfig.from_json(json.dumps(meta["config"])) if meta.get("config") else AMPNetConfig()
-    model = build_model(cfg, args.arch, "segmentation")
-
-    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
-    state, _ = mgr.restore(ckpt_name, state)
+    cfg, model, state, ckpt_name = restored
     inferencer = TiledInferencer(
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
     )
@@ -291,6 +305,24 @@ def cmd_infer(args) -> int:
         preds = inferencer.predict(feats, seed=i)
         np.save(os.path.join(args.out_path, sample["name"] + "_preds.npy"), preds)
     print(f"wrote predictions for {len(ds)} clouds to {args.out_path}")
+    return 0
+
+
+def cmd_fps(args) -> int:
+    """Offline FPS subsampling of large clouds (data_proc/sample_fps.py:12-34)."""
+    from ampnet_tpu.data.io_utils import load_cloud, save_cloud
+    from ampnet_tpu.native import fps_native
+
+    files = sorted(glob.glob(os.path.join(args.in_path, "*.pkl")))
+    os.makedirs(args.out_path, exist_ok=True)
+    n_done = 0
+    for f in files:
+        pc = load_cloud(f)
+        if pc.shape[0] > args.n_points:
+            pc = pc[fps_native(pc[:, :3], args.n_points)]
+        save_cloud(os.path.join(args.out_path, os.path.basename(f)), pc)
+        n_done += 1
+    print(f"fps-sampled {n_done} clouds to <= {args.n_points} points → {args.out_path}")
     return 0
 
 
@@ -383,8 +415,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--path_list_files", required=True)
     s.add_argument("--out_path", default="results")
     s.add_argument("--arch", default="attention")
+    s.add_argument("--task", choices=["segmentation", "classification"],
+                   default="segmentation")
     s.add_argument("--max_clusters", type=int, default=18)
     s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "
+                                   "(data_proc/sample_fps.py)")
+    s.add_argument("--in_path", required=True)
+    s.add_argument("--out_path", required=True)
+    s.add_argument("--n_points", type=int, default=8192)
+    s.set_defaults(fn=cmd_fps)
 
     s = sub.add_parser("infer", help="label-free predictions")
     s.add_argument("dataset_path")

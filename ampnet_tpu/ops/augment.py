@@ -48,6 +48,44 @@ def shuffle_points(
     return jnp.take(points, idx, axis=-2), jnp.take(labels, idx, axis=-1)
 
 
+def jitter(points: jnp.ndarray, key: jax.Array, sigma: float = 0.01,
+           clip: float = 0.05) -> jnp.ndarray:
+    """Per-point Gaussian jitter on xyz (reference jitter_point_cloud,
+    utils/utils.py:957-974 — unused there, first-class here)."""
+    noise = jnp.clip(sigma * jax.random.normal(key, points[..., :3].shape), -clip, clip)
+    return points.at[..., :3].add(noise.astype(points.dtype))
+
+
+def random_scale(points: jnp.ndarray, key: jax.Array, lo: float = 0.8,
+                 hi: float = 1.25) -> jnp.ndarray:
+    """Shared random xyz scale (reference random_scale_point_cloud,
+    utils/utils.py:995-1011)."""
+    s = jax.random.uniform(key, (), minval=lo, maxval=hi)
+    return points.at[..., :3].multiply(s.astype(points.dtype))
+
+
+def random_shift(points: jnp.ndarray, key: jax.Array, rng: float = 0.1) -> jnp.ndarray:
+    """Shared random xy/z translation (reference shift_point_cloud,
+    utils/utils.py:977-992)."""
+    shift = jax.random.uniform(key, (3,), minval=-rng, maxval=rng)
+    return points.at[..., :3].add(shift.astype(points.dtype))
+
+
+def random_point_dropout(
+    points: jnp.ndarray,  # [..., N, F]
+    key: jax.Array,
+    max_dropout: float = 0.875,
+) -> jnp.ndarray:
+    """Randomly replace a fraction of points with the first point — static-shape
+    dropout matching reference random_point_dropout (utils/utils.py:940-954)."""
+    k1, k2 = jax.random.split(key)
+    ratio = jax.random.uniform(k1, ()) * max_dropout
+    n = points.shape[-2]
+    drop = jax.random.uniform(k2, points.shape[:-1]) < ratio
+    first = jnp.broadcast_to(points[..., :1, :], points.shape)
+    return jnp.where(drop[..., None], first, points)
+
+
 def shuffle_windows(
     points: jnp.ndarray,  # [B, W, N, F]
     labels: jnp.ndarray,  # [B, W, N]

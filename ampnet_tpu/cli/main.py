@@ -395,7 +395,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("dataset_path")
     s.add_argument("--task", choices=["segmentation", "classification"],
                    default="segmentation")
-    s.add_argument("--arch", choices=["attention", "gru", "baseline", "classic"],
+    s.add_argument("--arch", choices=["attention", "gru", "baseline", "classic", "pointnet2"],
                    default="attention")
     s.add_argument("--path_list_files", default="train_test_files/RGBN_100x100")
     s.add_argument("--out_path", default="results")

@@ -9,7 +9,7 @@ from ampnet_tpu.core.config import AMPNetConfig
 from ampnet_tpu.models.adapter import SingleWindowClassifier, SingleWindowSegmenter
 from ampnet_tpu.models.amp import AMPNetClassifier, AMPNetSegmenter
 
-ARCHS = ("attention", "gru", "baseline", "classic")
+ARCHS = ("attention", "gru", "baseline", "classic", "pointnet2")
 
 
 def build_model(cfg: AMPNetConfig, arch: str = "attention", task: str = "segmentation",
@@ -24,6 +24,12 @@ def build_model(cfg: AMPNetConfig, arch: str = "attention", task: str = "segment
         if task == "segmentation":
             return AMPNetSegmenter(mcfg)
         return AMPNetClassifier(mcfg, num_out=num_cls_out)
+    if arch == "pointnet2":
+        from ampnet_tpu.models.pointnet2 import PointNet2Segmenter
+
+        if task != "segmentation":
+            raise ValueError("pointnet2 supports segmentation only")
+        return PointNet2Segmenter(mcfg.num_classes, dtype=mcfg.dtype)
     variant = "light" if arch == "baseline" else "classic"
     point_dim = 2 if variant == "light" else 3
     if task == "segmentation":

@@ -71,3 +71,21 @@ def test_binary_metrics():
 def test_factory_rejects_unknown():
     with pytest.raises(ValueError):
         build_model(AMPNetConfig(), "transformer++", "segmentation")
+
+
+def test_pointnet2_train_step(batch):
+    """The reference's pointnet_2 is dead code (missing module); ours must run a
+    full jitted train step."""
+    cfg = AMPNetConfig()
+    model = build_model(cfg, "pointnet2", "segmentation")
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    train_step, eval_step = make_step_fns(cfg, augment=False)
+    state, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    m, preds = eval_step(state, batch)
+    assert preds.shape == batch["labels"].shape
+
+
+def test_pointnet2_rejects_classification():
+    with pytest.raises(ValueError):
+        build_model(AMPNetConfig(), "pointnet2", "classification")

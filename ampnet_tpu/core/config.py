@@ -92,6 +92,13 @@ class TrainConfig:
     # class-weighting scheme for classification: 'EFS'|'INS'|'ISNS'|'sklearn'|'none'
     weighing_method: str = "EFS"
     beta: float = 0.999  # EFS beta (…:495)
+    # stop after this many epochs without val improvement; 0 = never (the
+    # reference baseline/GRU trainers exit at 100, baseline/train_segmentation.py:266)
+    early_stop_patience: int = 0
+    # augmentation recipe applied inside the jitted train step; the first two are
+    # the reference's (train_pointnet-attention.py:390-405), the rest are the
+    # utils.py:940-1032 extras
+    augmentations: Tuple[str, ...] = ("shuffle_windows", "rotate_z")
     # data-parallel device count hint (1 = single chip); the mesh is built at runtime
     num_devices: int = 1
 

@@ -19,7 +19,14 @@ import jax.numpy as jnp
 
 from ampnet_tpu.core.config import AMPNetConfig
 from ampnet_tpu.core.metrics import confusion_matrix
-from ampnet_tpu.ops.augment import rotate_z, shuffle_windows
+from ampnet_tpu.ops.augment import (
+    jitter,
+    random_point_dropout,
+    random_scale,
+    random_shift,
+    rotate_z,
+    shuffle_windows,
+)
 from ampnet_tpu.train.losses import orthogonality_regularizer, weighted_cross_entropy
 from ampnet_tpu.train.state import AMPTrainState
 
@@ -65,21 +72,35 @@ def make_step_fns(
     reg_w = cfg.train.reg_weight
     num_classes = cfg.model.num_classes
 
+    recipe = tuple(cfg.train.augmentations) if augment else ()
+
     @jax.jit
     def train_step(state: AMPTrainState, batch: Batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        k_shuffle, k_rot, k_drop = jax.random.split(rng, 3)
+        keys = jax.random.split(rng, len(recipe) + 1)
+        k_drop = keys[-1]
 
         points, labels = batch["points"], batch["labels"]
         centroids = batch.get("centroids")
-        if augment:
-            # shared-permutation window shuffle + shared-angle z-rotation
-            # (train_pointnet-attention.py:390-405)
-            if centroids is not None:
-                points, labels, centroids = shuffle_windows(points, labels, k_shuffle, centroids)
+        for name, key in zip(recipe, keys):
+            if name == "shuffle_windows":
+                # shared-permutation window shuffle (train_pointnet-attention.py:390)
+                if centroids is not None:
+                    points, labels, centroids = shuffle_windows(points, labels, key, centroids)
+                else:
+                    points, labels = shuffle_windows(points, labels, key)
+            elif name == "rotate_z":  # shared-angle z-rotation (…:393,403)
+                points = rotate_z(points, key=key)
+            elif name == "jitter":
+                points = jitter(points, key)
+            elif name == "scale":
+                points = random_scale(points, key)
+            elif name == "shift":
+                points = random_shift(points, key)
+            elif name == "point_dropout":
+                points = random_point_dropout(points, key)
             else:
-                points, labels = shuffle_windows(points, labels, k_shuffle)
-            points = rotate_z(points, key=k_rot)
+                raise ValueError(f"unknown augmentation {name!r}")
         aug = dict(batch, points=points, labels=labels)
         if centroids is not None:
             aug["centroids"] = centroids

@@ -159,6 +159,10 @@ class Trainer:
                     self.epochs_since_improvement += 1
             self.log_train.flush()
             self.log_val.flush()
+            patience = self.cfg.train.early_stop_patience
+            if patience and self.epochs_since_improvement >= patience:
+                # reference early-exit semantics (baseline/train_segmentation.py:266)
+                break
         self.log_train.scalar("total_hours", (time.time() - t_start) / 3600, self.epoch)
         return history
 

@@ -87,3 +87,31 @@ def test_gradients_flow_to_all_params(cfg, setup):
     # allow a tiny number of genuinely cold params (e.g. rarely-hit classes) but not many
     frozen = sum(1 for d in leaves if d == 0.0)
     assert frozen == 0, f"{frozen}/{len(leaves)} params received no update"
+
+
+def test_full_augmentation_recipe(cfg, setup):
+    """Every augmentation op in the recipe must run inside the jitted step."""
+    from ampnet_tpu.core.config import AMPNetConfig, TrainConfig
+
+    model, state, batch = setup
+    cfg2 = AMPNetConfig(
+        train=TrainConfig(
+            augmentations=(
+                "shuffle_windows", "rotate_z", "jitter", "scale", "shift",
+                "point_dropout",
+            )
+        )
+    )
+    train_step, _ = make_step_fns(cfg2, augment=True)
+    s, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unknown_augmentation_rejected(cfg, setup):
+    from ampnet_tpu.core.config import AMPNetConfig, TrainConfig
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_step_fns(AMPNetConfig(train=TrainConfig(augmentations=("bogus",))))[0](
+            setup[1], setup[2]
+        )

@@ -79,9 +79,17 @@ def cmd_preprocess(args) -> int:
         return 1
 
     produced = []
+    n_failed = 0
     for tile_path in tiles:
         tile_name = os.path.splitext(os.path.basename(tile_path))[0]
-        las = read_las(tile_path)
+        try:
+            las = read_las(tile_path)
+        except Exception as e:
+            # skip-and-continue robustness like the reference's imap_unordered
+            # pools (2_preprocessing_filter_norm.py:131-132)
+            print(f"error reading {tile_path}: {e} — skipped", file=sys.stderr)
+            n_failed += 1
+            continue
         # stage pdal_hag.sh equivalent: HeightAboveGround
         hag = las.height_above_ground
         if hag is None:
@@ -119,7 +127,10 @@ def cmd_preprocess(args) -> int:
         produced, args.out_path, task="segmentation",
         fractions={"train": 0.7, "val": 0.15, "test": 0.15}, seed=args.seed,
     )
-    print(f"preprocessed {len(produced)} windows from {len(tiles)} tiles → {args.out_path}")
+    msg = f"preprocessed {len(produced)} windows from {len(tiles)} tiles → {args.out_path}"
+    if n_failed:
+        msg += f" ({n_failed} unreadable tiles skipped)"
+    print(msg)
     return 0
 
 

@@ -1,0 +1,89 @@
+"""CLI-level tests: parser wiring, list loading, and the fast subcommands.
+
+The heavy end-to-end paths (demo/train/test) are exercised by the project verify
+skill on the real CLI; these tests cover the pure-host commands and error paths so
+the suite stays fast.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ampnet_tpu.cli.main import build_parser, cmd_fps, cmd_preprocess, cmd_synth, main
+
+
+def ns(**kw):
+    import argparse
+
+    return argparse.Namespace(**kw)
+
+
+def test_parser_covers_all_subcommands():
+    p = build_parser()
+    for cmd in ("synth", "preprocess", "train", "test", "infer", "demo", "fps"):
+        args = p.parse_args([cmd] + {
+            "synth": ["--out_path", "/tmp/x"],
+            "preprocess": ["--in_path", "/tmp/a", "--out_path", "/tmp/b"],
+            "train": ["/tmp/d"],
+            "test": ["/tmp/d", "--model_checkpoint", "c", "--path_list_files", "l"],
+            "infer": ["/tmp/d", "--model_checkpoint", "c"],
+            "demo": [],
+            "fps": ["--in_path", "/tmp/a", "--out_path", "/tmp/b"],
+        }[cmd])
+        assert callable(args.fn)
+
+
+def test_synth_and_preprocess_roundtrip(tmp_path):
+    las_dir, out_dir = str(tmp_path / "las"), str(tmp_path / "out")
+    rc = cmd_synth(ns(out_path=las_dir, n_tiles=1, windows_per_tile=2,
+                      points_per_window=2000, window_size=50.0, seed=0))
+    assert rc == 0
+    assert len(os.listdir(las_dir)) == 1
+
+    rc = cmd_preprocess(ns(in_path=las_dir, out_path=out_dir, dataset="T",
+                           window_size=50.0, max_z=100.0, min_points=200,
+                           n_points=256, max_windows=4, hag_cell=2.0, seed=0))
+    assert rc == 0
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".pkl") for f in files)
+    assert any(f.startswith("kmeans_") for f in files)
+    assert "train_seg_files.txt" in files
+
+    # canonical schema invariants on a produced artifact
+    from ampnet_tpu.data.io_utils import load_cloud
+
+    pkl = next(f for f in files if f.endswith(".pkl") and not f.startswith("kmeans"))
+    pc = load_cloud(os.path.join(out_dir, pkl))
+    assert pc.shape[1] == 13
+    assert pc[:, 0].min() >= 0 and pc[:, 0].max() <= 1
+
+
+def test_preprocess_skips_corrupt_tile(tmp_path, capsys):
+    las_dir, out_dir = tmp_path / "las", tmp_path / "out"
+    las_dir.mkdir()
+    (las_dir / "bad.las").write_bytes(b"NOT A LAS FILE")
+    rc = cmd_preprocess(ns(in_path=str(las_dir), out_path=str(out_dir), dataset="T",
+                           window_size=50.0, max_z=100.0, min_points=10,
+                           n_points=64, max_windows=2, hag_cell=2.0, seed=0))
+    assert rc == 0  # skip-and-continue, not crash
+    out = capsys.readouterr()
+    assert "skipped" in out.err or "skipped" in out.out
+
+
+def test_fps_command(tmp_path):
+    from ampnet_tpu.data.io_utils import load_cloud, save_cloud
+
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir()
+    rng = np.random.default_rng(0)
+    save_cloud(str(ind / "a.pkl"), rng.random((300, 13)).astype(np.float32))
+    rc = cmd_fps(ns(in_path=str(ind), out_path=str(outd), n_points=64))
+    assert rc == 0
+    assert load_cloud(str(outd / "a.pkl")).shape[0] == 64
+
+
+def test_main_requires_subcommand():
+    with pytest.raises(SystemExit):
+        main([])

@@ -22,10 +22,19 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
-# persistent XLA compilation cache: first-time compile through the remote relay is
-# minutes; cached recompiles are seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+def _enable_compile_cache():
+    """Persistent compilation cache: first-time compile through this environment's
+    remote relay is minutes; cached recompiles are seconds. The axon plugin imports
+    jax during interpreter startup, so the JAX_COMPILATION_CACHE_DIR env var is read
+    too early — the config must be updated at runtime (the plugin's compile hook
+    then uses the same cache dir for its executable sidechannel)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
 
 BATCH = 32
 WINDOWS = 9

@@ -185,6 +185,7 @@ def cmd_train(args) -> int:
             ds, args.batch_size, n_points=args.number_of_points,
             max_windows=args.number_of_windows, seed=seed,
             drop_last=len(ds) >= args.batch_size,
+            pad_to_multiple=args.num_devices,
         )
     else:
         train_ds = CloudDataset(args.dataset_path, lists["train"],
@@ -197,13 +198,19 @@ def cmd_train(args) -> int:
         mk_batch = lambda ds, seed: SingleCloudBatcher(
             ds, args.batch_size, n_points=args.number_of_points, seed=seed,
             drop_last=len(ds) >= args.batch_size,
+            pad_to_multiple=args.num_devices,
         )
 
+    mesh = None
+    if args.num_devices > 1:
+        from ampnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
     model = build_model(cfg, args.arch, args.task)
     trainer = Trainer(
         cfg, model, mk_batch(train_ds, cfg.train.seed),
         mk_batch(val_ds, cfg.train.seed + 1) if val_ds is not None else None,
-        args.out_path, name=f"{args.arch}_{args.task}", task=args.task,
+        args.out_path, name=f"{args.arch}_{args.task}", task=args.task, mesh=mesh,
     )
     if args.task == "classification":
         from ampnet_tpu.train.cls_step import make_cls_step_fns
@@ -361,6 +368,7 @@ def cmd_demo(args) -> int:
         task="segmentation", arch=args.arch, number_of_points=args.number_of_points,
         number_of_windows=5, batch_size=2, epochs=args.epochs,
         learning_rate=1e-3, weighing_method="EFS", seed=0, model_checkpoint="",
+        num_devices=1,
     )
     if cmd_train(c):
         return 1
@@ -418,6 +426,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--weighing_method", default="EFS")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--model_checkpoint", default="")
+    s.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel device count (batch axis sharded over a Mesh)")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")

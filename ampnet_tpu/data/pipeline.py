@@ -70,6 +70,7 @@ class PaddedBatcher:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        pad_to_multiple: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -79,7 +80,30 @@ class PaddedBatcher:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.pad_to_multiple = pad_to_multiple
         self.epoch = 0
+
+    def _pad_batch_to_multiple(self, batch):
+        """Pad a short batch up to a multiple of `pad_to_multiple` clouds by
+        replicating earlier samples with all labels −1 — loss-ignored and
+        attention-masked, so data-parallel sharding always divides evenly."""
+        m = self.pad_to_multiple
+        b = batch["points"].shape[0]
+        if m <= 1 or b % m == 0:
+            return batch
+        reps = m - b % m
+        idx = np.arange(reps) % b
+        out = dict(batch)
+        for k in ("points", "centroids"):
+            out[k] = np.concatenate([batch[k], batch[k][idx]], axis=0)
+        pad_lbl = np.full_like(batch["labels"][idx], -1)
+        out["labels"] = np.concatenate([batch["labels"], pad_lbl], axis=0)
+        if "cls_label" in batch:
+            out["cls_label"] = np.concatenate(
+                [batch["cls_label"], batch["cls_label"][idx]], axis=0
+            )
+        out["names"] = batch["names"] + [f"<pad:{batch['names'][i]}>" for i in idx]
+        return out
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -108,7 +132,7 @@ class PaddedBatcher:
             }
             if "cls_label" in samples[0]:
                 batch["cls_label"] = np.asarray([s["cls_label"] for s in samples])
-            yield batch
+            yield self._pad_batch_to_multiple(batch)
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -173,7 +197,7 @@ class SingleCloudBatcher(PaddedBatcher):
             }
             if "cls_label" in samples[0]:
                 batch["cls_label"] = np.asarray([s["cls_label"] for s in samples])
-            yield batch
+            yield self._pad_batch_to_multiple(batch)
 
 
 def to_device_batch(batch: Dict, mesh=None) -> Dict:

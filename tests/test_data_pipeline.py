@@ -143,3 +143,16 @@ def test_test_cloud_dataset(artifact_dir):
     assert s["points"].shape[1] == 9
     assert s["labels"].shape[0] == s["points"].shape[0]
     assert s["raw_class"].shape[0] == s["points"].shape[0]
+
+
+def test_pad_to_multiple(artifact_dir):
+    d, names = artifact_dir
+    ds = WindowedCloudDataset(d, names)  # 3 samples
+    batcher = PaddedBatcher(ds, 3, n_points=32, max_windows=2, drop_last=False,
+                            pad_to_multiple=8, shuffle=False, prefetch=0)
+    b = next(iter(batcher))
+    assert b["points"].shape[0] == 8
+    # padded clouds: replicated points, all labels -1, tagged names
+    assert (b["labels"][3:] == -1).all()
+    assert all(n.startswith("<pad:") for n in b["names"][3:])
+    np.testing.assert_array_equal(b["points"][3], b["points"][0])

@@ -314,9 +314,26 @@ def cmd_infer(args) -> int:
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
     )
 
+    os.makedirs(args.out_path, exist_ok=True)
+    las_tiles = sorted(glob.glob(os.path.join(args.dataset_path, "*.las")))
+    if las_tiles:
+        # whole-tile mode: LAS in → classified LAS out
+        from ampnet_tpu.infer.full_tile import classify_las_file
+
+        results = {}
+        for t in las_tiles:
+            name = os.path.splitext(os.path.basename(t))[0]
+            out_las = os.path.join(args.out_path, name + "_classified.las")
+            results[name] = classify_las_file(
+                inferencer, t, out_las, window_size=args.window_size
+            )
+        with open(os.path.join(args.out_path, "tile_metrics.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"classified {len(las_tiles)} LAS tiles → {args.out_path}")
+        return 0
+
     files = [os.path.basename(f) for f in sorted(glob.glob(os.path.join(args.dataset_path, "*.pkl")))]
     ds = InferenceCloudDataset(args.dataset_path, files)
-    os.makedirs(args.out_path, exist_ok=True)
     for i in range(len(ds)):
         sample = ds[i]
         feats = normalize_xy_neg_one(select_model_features(sample["points"]))
@@ -448,11 +465,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--n_points", type=int, default=8192)
     s.set_defaults(fn=cmd_fps)
 
-    s = sub.add_parser("infer", help="label-free predictions")
+    s = sub.add_parser("infer", help="label-free predictions; with LAS tiles in the "
+                                     "input dir, runs whole-tile LAS→LAS classification")
     s.add_argument("dataset_path")
     s.add_argument("--model_checkpoint", required=True)
     s.add_argument("--out_path", default="predictions")
     s.add_argument("--arch", default="attention")
+    s.add_argument("--window_size", type=float, default=100.0)
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("demo", help="synthetic end-to-end pipeline")

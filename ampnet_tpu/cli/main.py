@@ -395,7 +395,7 @@ def cmd_demo(args) -> int:
         out_path=os.path.join(base, "run"),
         model_checkpoint=os.path.join(base, "run", "checkpoints",
                                       f"{args.arch}_segmentation_best"),
-        arch=args.arch, max_clusters=6,
+        arch=args.arch, max_clusters=6, task="segmentation",
     )
     return cmd_test(d)
 

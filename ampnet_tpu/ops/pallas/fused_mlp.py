@@ -47,8 +47,22 @@ def fold_bn(
     return w, b
 
 
+def _pick_block_windows(m: int, n: int, cmax: int, dtype_bytes: int = 4) -> int:
+    """Windows per grid program: as many as fit a ~6 MB activation budget (VMEM is
+    ~16 MB and Mosaic double-buffers IO blocks). Bigger blocks amortize grid
+    overhead and give the MXU [G·N, C] operands instead of [N, C]."""
+    budget = 4 * 1024 * 1024
+    # lanes pad to 128, and Mosaic keeps a few temporaries of the widest layer
+    per_window = n * max(cmax, 128) * dtype_bytes * 2
+    g = max(1, budget // max(per_window, 1))
+    while m % g:  # grid must divide evenly (no masking logic needed)
+        g -= 1
+    return g
+
+
 @functools.partial(
-    jax.jit, static_argnames=("pool", "relu_last", "return_acts", "interpret")
+    jax.jit,
+    static_argnames=("pool", "relu_last", "return_acts", "interpret", "block_windows"),
 )
 def fused_mlp_chain(
     x: jnp.ndarray,  # [M, N, Cin] — M windows of N points
@@ -58,6 +72,7 @@ def fused_mlp_chain(
     relu_last: bool = True,
     return_acts: bool = True,
     interpret: bool = False,
+    block_windows: int = 0,  # 0 → auto
 ):
     """Returns activations [M, N, Cout_last] (when ``return_acts``) and/or the
     per-window max [M, Cout_last] (when ``pool``). ``pool=True, return_acts=False``
@@ -68,9 +83,11 @@ def fused_mlp_chain(
     assert len(biases) == n_layers
     assert pool or return_acts
     cout = weights[-1].shape[1]
+    cmax = max(w.shape[1] for w in weights)
+    g = block_windows or _pick_block_windows(m, n, cmax)
 
     flat_params = []
-    in_specs = [pl.BlockSpec((1, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((g, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
     for w, b in zip(weights, biases):
         flat_params += [w, b.reshape(1, -1)]
         in_specs += [
@@ -82,16 +99,16 @@ def fused_mlp_chain(
     if return_acts:
         out_shape.append(jax.ShapeDtypeStruct((m, n, cout), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
     if pool:
         out_shape.append(jax.ShapeDtypeStruct((m, 1, cout), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(x_ref, *refs):
-        h = x_ref[0]  # [N, Cin] — drop the singleton window axis of the block
+        h = x_ref[:].reshape(g * n, cin)  # windows merged into one MXU M-dim
         for i in range(n_layers):
             w = refs[2 * i][:]
             b = refs[2 * i + 1][0, :]
@@ -100,10 +117,12 @@ def fused_mlp_chain(
                 h = jnp.maximum(h, 0.0)
         o = 2 * n_layers
         if return_acts:
-            refs[o][0] = h.astype(x.dtype)
+            refs[o][:] = h.reshape(g, n, cout).astype(x.dtype)
             o += 1
         if pool:
-            refs[o][0] = jnp.max(h, axis=0, keepdims=True).astype(x.dtype)
+            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1, keepdims=True).astype(
+                x.dtype
+            )
 
     flops = 2 * m * n * sum(int(w.shape[0]) * int(w.shape[1]) for w in weights)
     result = pl.pallas_call(

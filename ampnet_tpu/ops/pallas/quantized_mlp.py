@@ -38,7 +38,8 @@ def quantize_weights_per_channel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pool", "relu_last", "return_acts", "interpret")
+    jax.jit,
+    static_argnames=("pool", "relu_last", "return_acts", "interpret", "block_windows"),
 )
 def quantized_mlp_chain(
     x: jnp.ndarray,  # [M, N, Cin] fp32 — M windows of N points
@@ -49,15 +50,23 @@ def quantized_mlp_chain(
     relu_last: bool = True,
     return_acts: bool = True,
     interpret: bool = False,
+    block_windows: int = 0,
 ):
-    """int8 version of fused_mlp_chain: dynamic per-window activation scales."""
+    """int8 version of fused_mlp_chain: dynamic per-window activation scales.
+    Multiple windows per grid program (same blocking as the fp32 kernel) — the
+    activation scale is then per-block, which is fine: windows in a batch share
+    the normalized feature ranges."""
+    from ampnet_tpu.ops.pallas.fused_mlp import _pick_block_windows
+
     m, n, cin = x.shape
     n_layers = len(wq)
     assert pool or return_acts
     cout = wq[-1].shape[1]
+    cmax = max(q.shape[1] for q in wq)
+    g = block_windows or _pick_block_windows(m, n, cmax)
 
     flat_params: List[jnp.ndarray] = []
-    in_specs = [pl.BlockSpec((1, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((g, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
     for q, s, b in zip(wq, w_scale, biases):
         flat_params += [q, s.reshape(1, -1), b.reshape(1, -1)]
         in_specs += [
@@ -70,21 +79,21 @@ def quantized_mlp_chain(
     if return_acts:
         out_shape.append(jax.ShapeDtypeStruct((m, n, cout), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
     if pool:
         out_shape.append(jax.ShapeDtypeStruct((m, 1, cout), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(x_ref, *refs):
-        h = x_ref[0].astype(jnp.float32)  # [N, Cin]
+        h = x_ref[:].reshape(g * n, cin).astype(jnp.float32)
         for i in range(n_layers):
             q = refs[3 * i][:]
             s_w = refs[3 * i + 1][0, :]
             b = refs[3 * i + 2][0, :]
-            # dynamic symmetric activation quantization
+            # dynamic symmetric activation quantization (per block)
             s_x = jnp.maximum(jnp.max(jnp.abs(h)), 1e-12) / 127.0
             hq = jnp.clip(jnp.round(h / s_x), -127, 127).astype(jnp.int8)
             acc = jnp.dot(hq, q, preferred_element_type=jnp.int32)
@@ -93,10 +102,10 @@ def quantized_mlp_chain(
                 h = jnp.maximum(h, 0.0)
         o = 3 * n_layers
         if return_acts:
-            refs[o][0] = h
+            refs[o][:] = h.reshape(g, n, cout)
             o += 1
         if pool:
-            refs[o][0] = jnp.max(h, axis=0, keepdims=True)
+            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1, keepdims=True)
 
     flops = 2 * m * n * sum(int(q.shape[0]) * int(q.shape[1]) for q in wq)
     result = pl.pallas_call(

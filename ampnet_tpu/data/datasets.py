@@ -95,6 +95,7 @@ class CloudDataset:
         number_of_points: int = 4096,
         feature_mode: str = "nine",
         fixed_num_points: bool = True,
+        constrained_sample: bool = False,
         seed: int = 0,
     ):
         self.folder = dataset_folder
@@ -104,6 +105,10 @@ class CloudDataset:
         self.n_points = number_of_points
         self.feature_mode = feature_mode
         self.fixed_num_points = fixed_num_points
+        # legacy 11-column artifacts carry a sampling flag in column 10
+        # (datasets.py:77 `pc[pc[:, 10] == 1]`); the 13-column schema stores
+        # x_raw there, so this flag only applies to legacy data
+        self.constrained_sample = constrained_sample
         self.rng = np.random.default_rng(seed)
         # filename-prefix class mapping (LidarDataset._init_mapping, datasets.py:36-45)
         self.class_of = {
@@ -129,6 +134,8 @@ class CloudDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pc = load_cloud(self.paths[index])  # [N, >=10]
+        if self.constrained_sample:
+            pc = pc[pc[:, 10] == 1]
         if self.feature_mode == "nine":
             pc = S.drop_noise_points(pc, S.DATASET_NOISE_CLASSES)
         pc = self._resample(pc)

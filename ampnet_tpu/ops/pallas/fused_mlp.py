@@ -48,16 +48,12 @@ def fold_bn(
 
 
 def _pick_block_windows(m: int, n: int, cmax: int, dtype_bytes: int = 4) -> int:
-    """Windows per grid program: as many as fit a ~6 MB activation budget (VMEM is
-    ~16 MB and Mosaic double-buffers IO blocks). Bigger blocks amortize grid
-    overhead and give the MXU [G·N, C] operands instead of [N, C]."""
-    budget = 4 * 1024 * 1024
-    # lanes pad to 128, and Mosaic keeps a few temporaries of the widest layer
-    per_window = n * max(cmax, 128) * dtype_bytes * 2
-    g = max(1, budget // max(per_window, 1))
-    while m % g:  # grid must divide evenly (no masking logic needed)
-        g -= 1
-    return g
+    """Windows per grid program. Default 1: multi-window blocks (pass
+    ``block_windows`` explicitly) currently abort the TPU backend at production
+    scale on this Mosaic version — measured g≥2 crashes at [288, 2048, ·] while
+    small shapes are exact. Revisit with an inner point-axis loop so block size and
+    VMEM footprint decouple."""
+    return 1
 
 
 @functools.partial(

@@ -153,7 +153,8 @@ def evaluate_dataset(
         total_cm += m.pop("confusion")
         n_points_total += len(preds)
         rows.append({"name": sample["name"], **m})
-    minutes = (time.time() - t0) / 60
+    elapsed = time.time() - t0
+    minutes = elapsed / 60
 
     iou, valid = iou_from_confusion(jnp.asarray(total_cm))
     iou, valid = np.asarray(iou), np.asarray(valid)
@@ -167,7 +168,7 @@ def evaluate_dataset(
         "miou": float(iou[valid].mean()) if valid.any() else float("nan"),
         "oa": float(np.diag(total_cm).sum() / max(total_cm.sum(), 1)),
         "inference_minutes": round(minutes, 4),
-        "points_per_sec": round(n_points_total / max(time.time() - t0, 1e-9), 1),
+        "points_per_sec": round(n_points_total / max(elapsed, 1e-9), 1),
         "n_clouds": len(rows),
     }
     if out_csv:

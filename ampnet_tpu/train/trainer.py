@@ -33,6 +33,18 @@ IOU_TAGS = ("bckg", "tower", "cables", "low_veg", "high_veg")
 CLS_TAGS = ("no_tower", "tower")
 
 
+def parameter_counts(params) -> Dict[str, int]:
+    """Per-top-level-module and total trainable parameter counts (the reference
+    prints a PrettyTable of these, train_pointnet-attention.py:165-178)."""
+    import jax
+
+    out = {}
+    for module, sub in params.items():
+        out[module] = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(sub))
+    out["total"] = sum(out.values())
+    return out
+
+
 def _epoch_metrics(confusions: List[np.ndarray], losses: Dict[str, List[float]]) -> Dict:
     """Host-side aggregation mirroring the reference's per-batch-mean convention
     (train_pointnet-attention.py:232-241 appends per-batch IoU and averages)."""
@@ -99,6 +111,11 @@ class Trainer:
         else:
             self.train_step, self.eval_step = make_step_fns(cfg, augment=augment)
 
+        counts = parameter_counts(self.state.params)
+        print(
+            "Trainable params: "
+            + ", ".join(f"{k}={v:,}" for k, v in counts.items())
+        )
         self.ckpt = CheckpointManager(f"{workdir}/checkpoints")
         self.log_train = MetricsLogger(f"{workdir}/logs", f"{name}_train")
         self.log_val = MetricsLogger(f"{workdir}/logs", f"{name}_val")

@@ -26,13 +26,13 @@ def evaluate_classification(
     for batch in batcher:
         dev = to_device_batch(batch)
         metrics, preds = eval_step(state, dev)
-        # positive-class scores for PR-AUC via an extra forward of logits
-        preds = np.asarray(preds)
         names_all += batch["names"]
-        preds_all.append(preds)
+        preds_all.append(np.asarray(preds))
         targets_all.append(np.asarray(batch["cls_label"]))
+        probs_all.append(np.asarray(metrics["pos_prob"]))
     preds = np.concatenate(preds_all)
     targets = np.concatenate(targets_all)
+    probs = np.concatenate(probs_all)
 
     cm = np.zeros((2, 2))
     for t, p in zip(targets, preds):
@@ -40,10 +40,10 @@ def evaluate_classification(
     out = binary_metrics_from_confusion(cm)
     out["n_samples"] = int(len(preds))
 
-    try:  # PR-AUC needs scores; use the hard predictions as a degenerate fallback
+    try:  # precision-recall AUC over positive-class probabilities
         from sklearn.metrics import average_precision_score
 
-        out["pr_auc"] = float(average_precision_score(targets, preds))
+        out["pr_auc"] = float(average_precision_score(targets, probs))
     except Exception:
         out["pr_auc"] = float("nan")
 

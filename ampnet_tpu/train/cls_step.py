@@ -78,7 +78,9 @@ def make_cls_step_fns(
         ce = weighted_cross_entropy(logits, batch["cls_label"], cw)
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, batch["cls_label"], num_out)
-        return {"loss": ce, "ce_loss": ce, "confusion": cm}, preds
+        # positive-class probability for PR curves (test_classification.py AUC)
+        pos_prob = jax.nn.softmax(logits, axis=-1)[..., 1]
+        return {"loss": ce, "ce_loss": ce, "confusion": cm, "pos_prob": pos_prob}, preds
 
     return train_step, eval_step
 

@@ -239,6 +239,24 @@ def _restore_model(args, task: str):
     from ampnet_tpu.models.factory import build_model
     from ampnet_tpu.train.state import create_train_state
 
+    if args.model_checkpoint.endswith((".pth", ".pt")):
+        # reference torch checkpoint: import directly (core/torch_import.py)
+        from ampnet_tpu.core.torch_import import import_reference_checkpoint
+
+        if task != "segmentation" or args.arch != "attention":
+            print("torch checkpoint import supports the attention segmenter",
+                  file=sys.stderr)
+            return None
+        variables, meta = import_reference_checkpoint(args.model_checkpoint)
+        cfg = AMPNetConfig()
+        model = build_model(cfg, "attention", "segmentation")
+
+        class _VarState:  # minimal state shim for the shared downstream code
+            params = variables["params"]
+            batch_stats = variables["batch_stats"]
+
+        return cfg, model, _VarState(), os.path.basename(args.model_checkpoint)
+
     ckpt_dir, ckpt_name = os.path.split(args.model_checkpoint.rstrip("/"))
     mgr = CheckpointManager(ckpt_dir)
     if not mgr.exists(ckpt_name):

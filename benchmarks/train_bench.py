@@ -7,9 +7,12 @@ the reference geometry, with the carry-chained honest-timing pattern."""
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 32, windows: int = 9, n_points: int = 2048, iters: int = 20):

@@ -160,7 +160,17 @@ class Trainer:
             self.log_train.scalars(tm, epoch)
             history["train"].append(tm)
 
-            if self.val_data is not None:
+            if self.val_data is None or len(self.val_data) == 0:
+                # no validation split: track best train loss instead so a usable
+                # checkpoint always exists
+                val_loss = tm.get("loss", float("inf"))
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    self.epochs_since_improvement = 0
+                    self._save_best(tm)
+                else:
+                    self.epochs_since_improvement += 1
+            else:
                 vm = self._run_epoch(self.val_data, train=False)
                 self.log_val.scalars(vm, epoch)
                 self.log_val.scalar(

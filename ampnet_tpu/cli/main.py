@@ -314,6 +314,7 @@ def cmd_test(args) -> int:
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
         model_name=ckpt_name,
+        plot_dir=os.path.join(args.out_path, "plots") if args.plot else None,
     )
     print(json.dumps(out["summary"], indent=2))
     return 0
@@ -413,7 +414,7 @@ def cmd_demo(args) -> int:
         out_path=os.path.join(base, "run"),
         model_checkpoint=os.path.join(base, "run", "checkpoints",
                                       f"{args.arch}_segmentation_best"),
-        arch=args.arch, max_clusters=6, task="segmentation",
+        arch=args.arch, max_clusters=6, task="segmentation", plot=False,
     )
     return cmd_test(d)
 
@@ -474,6 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--task", choices=["segmentation", "classification"],
                    default="segmentation")
     s.add_argument("--max_clusters", type=int, default=18)
+    s.add_argument("--plot", action="store_true",
+                   help="save pred-vs-GT 3D scatter PNGs for the first clouds")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "

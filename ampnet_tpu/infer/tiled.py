@@ -138,9 +138,13 @@ def evaluate_dataset(
     dataset,
     out_csv: Optional[str] = None,
     model_name: str = "ampnet_tpu",
+    plot_dir: Optional[str] = None,
+    plot_limit: int = 8,
 ) -> Dict:
     """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
-    summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284)."""
+    summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284).
+    With ``plot_dir``, saves pred-vs-GT 3D scatters for the first clouds (the
+    reference's visual-inspection loop, utils_plot.py:100-171)."""
     num_classes = inferencer.cfg.model.num_classes
     rows: List[Dict] = []
     total_cm = np.zeros((num_classes, num_classes))
@@ -153,6 +157,17 @@ def evaluate_dataset(
         total_cm += m.pop("confusion")
         n_points_total += len(preds)
         rows.append({"name": sample["name"], **m})
+        if plot_dir and i < plot_limit:
+            import os
+
+            from ampnet_tpu.core.plotting import plot_predictions_vs_truth
+
+            os.makedirs(plot_dir, exist_ok=True)
+            plot_predictions_vs_truth(
+                sample["points"][:, :3], preds, sample["labels"],
+                save_to=os.path.join(plot_dir, f"{sample['name']}.png"),
+                title=sample["name"],
+            )
     elapsed = time.time() - t0
     minutes = elapsed / 60
 

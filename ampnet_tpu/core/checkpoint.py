@@ -64,6 +64,9 @@ class CheckpointManager:
             "opt_state": _tree_to_numpy(state.opt_state),
             "step": np.asarray(state.step),
             "epoch": np.asarray(state.epoch),
+            "lr_scale": np.asarray(
+                state.lr_scale if state.lr_scale is not None else 1.0, np.float32
+            ),
         }
         target = self.path(name)
         self._ckptr.save(os.path.join(target, "state"), payload, force=True)
@@ -105,6 +108,7 @@ class CheckpointManager:
             "opt_state": _tree_to_numpy(state.opt_state),
             "step": np.asarray(state.step),
             "epoch": np.asarray(state.epoch),
+            "lr_scale": np.asarray(1.0, np.float32),
         }
         restored = self._ckptr.restore(os.path.join(self.path(name), "state"), item=template)
         state = state.replace(
@@ -113,6 +117,7 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=restored["step"],
             epoch=restored["epoch"],
+            lr_scale=restored["lr_scale"],
         )
         return state, meta
 

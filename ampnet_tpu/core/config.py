@@ -36,8 +36,10 @@ class DataConfig:
     # number of input features fed to the model: [x,y,z,I,R,G,B,NIR,NDVI]
     # (datasets.py:359 drops col 3 = class from the 13/11-col array)
     num_features: int = 9
-    # ASPRS-ish classes dropped at dataset load (datasets.py:339-350)
-    noise_classes: Tuple[int, ...] = (30, 7, 2, 8, 13, 14)
+    # ASPRS-ish classes dropped at dataset load. NOTE: the reference also drops 14
+    # (power lines) here, which makes the cables class unlearnable — see
+    # data/schema.py DATASET_NOISE_CLASSES for the full account
+    noise_classes: Tuple[int, ...] = (30, 7, 2, 8, 13)
     # classes dropped during offline preprocessing (2_preprocessing_filter_norm.py:41-48)
     preproc_drop_classes: Tuple[int, ...] = (2, 7, 8, 13, 24, 30)
     # HAG clip ceiling in metres (2_preprocessing_filter_norm.py:51-53)
@@ -95,6 +97,10 @@ class TrainConfig:
     # stop after this many epochs without val improvement; 0 = never (the
     # reference baseline/GRU trainers exit at 100, baseline/train_segmentation.py:266)
     early_stop_patience: int = 0
+    # halve the LR after this many epochs without improvement; 0 = never
+    # (reference adjust_learning_rate plateau decay, train_classification.py:159-160)
+    plateau_patience: int = 0
+    plateau_gamma: float = 0.5
     # augmentation recipe applied inside the jitted train step; the first two are
     # the reference's (train_pointnet-attention.py:390-405), the rest are the
     # utils.py:940-1032 extras

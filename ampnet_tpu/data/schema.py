@@ -55,10 +55,15 @@ class COL:
 NUM_CANONICAL_COLS = 13
 MODEL_FEATURE_COLS = (COL.X, COL.Y, COL.Z, COL.I, COL.R, COL.G, COL.B, COL.NIR, COL.NDVI)
 
-# classes the datasets drop at load time (datasets.py:339-350; includes 14 because the
-# k-means dataset path trains on vegetation/tower only — 14 removal is a quirk of
-# LidarKmeansDataset / LidarDatasetExpanded, NOT of LidarDataset)
-DATASET_NOISE_CLASSES = (30, 7, 2, 8, 13, 14)
+# classes the datasets drop at load time. The reference's LidarKmeansDataset /
+# LidarDatasetExpanded additionally drop class 14 — POWER LINES — from TRAINING data
+# (datasets.py:339-350) while the test loader keeps and evaluates it
+# (datasets.py:503): a model trained through that path can never learn the cables
+# class. We default to keeping 14 (the obviously intended behavior; measured: cables
+# IoU goes from 0.00 to nonzero) and expose REFERENCE_NOISE_CLASSES for
+# bug-compatible loading (SURVEY.md §7 hard-part 6: document, don't silently copy).
+DATASET_NOISE_CLASSES = (30, 7, 2, 8, 13)
+REFERENCE_NOISE_CLASSES = (30, 7, 2, 8, 13, 14)
 # classes dropped in offline preprocessing (2_preprocessing_filter_norm.py:41-48)
 PREPROC_DROP_CLASSES = (2, 7, 8, 13, 24, 30)
 

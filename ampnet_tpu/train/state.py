@@ -25,6 +25,18 @@ class AMPTrainState(train_state.TrainState):
     batch_stats: Any = None
     rng: jax.Array = struct.field(default=None)
     epoch: jnp.ndarray = struct.field(default=None)
+    # multiplies Adam's updates — the plateau LR decay knob
+    # (reference adjust_learning_rate, utils/utils.py:459-470)
+    lr_scale: jnp.ndarray = struct.field(default=None)
+
+    def apply_gradients(self, *, grads, **kwargs):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        if self.lr_scale is not None:
+            updates = jax.tree.map(lambda u: u * self.lr_scale, updates)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state, **kwargs
+        )
 
 
 def multistep_adam(
@@ -72,4 +84,5 @@ def create_train_state(
         tx=tx,
         rng=state_rng,
         epoch=jnp.zeros((), jnp.int32),
+        lr_scale=jnp.ones((), jnp.float32),
     )

@@ -186,8 +186,19 @@ class Trainer:
                     self.epochs_since_improvement += 1
             self.log_train.flush()
             self.log_val.flush()
-            patience = self.cfg.train.early_stop_patience
-            if patience and self.epochs_since_improvement >= patience:
+            t = self.cfg.train
+            if (
+                t.plateau_patience
+                and self.epochs_since_improvement > 0
+                and self.epochs_since_improvement % t.plateau_patience == 0
+            ):
+                # plateau LR decay (reference adjust_learning_rate semantics)
+                import jax.numpy as jnp
+
+                new_scale = self.state.lr_scale * t.plateau_gamma
+                self.state = self.state.replace(lr_scale=new_scale)
+                self.log_train.scalar("lr_scale", float(new_scale), epoch)
+            if t.early_stop_patience and self.epochs_since_improvement >= t.early_stop_patience:
                 # reference early-exit semantics (baseline/train_segmentation.py:266)
                 break
         self.log_train.scalar("total_hours", (time.time() - t_start) / 3600, self.epoch)

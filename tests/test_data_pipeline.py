@@ -47,7 +47,7 @@ class TestWindowedCloudDataset:
         d, names = artifact_dir
         ds = WindowedCloudDataset(d, names)
         raw = load_cloud(os.path.join(d, f"kmeans_{names[0]}.pt"))
-        n_noise = np.isin(raw[:, 3, :], [30, 7, 2, 8, 13, 14]).any(axis=1).sum()
+        n_noise = np.isin(raw[:, 3, :], [30, 7, 2, 8, 13]).any(axis=1).sum()
         s = ds[0]
         assert s["points"].shape[1] == raw.shape[0] - n_noise
 

@@ -67,8 +67,12 @@ def test_drop_noise_points_flat(rng):
     pc = np.zeros((10, 13), dtype=np.float32)
     pc[:, S.COL.CLASS] = [30, 7, 2, 8, 13, 14, 15, 5, 3, 4]
     out = S.drop_noise_points(pc)
-    assert out.shape[0] == 4
-    np.testing.assert_array_equal(out[:, S.COL.CLASS], [15, 5, 3, 4])
+    # class 14 (power lines) is KEPT by default — the reference drops it from
+    # training, which makes the cables class unlearnable (documented quirk fix)
+    assert out.shape[0] == 5
+    np.testing.assert_array_equal(out[:, S.COL.CLASS], [14, 15, 5, 3, 4])
+    ref = S.drop_noise_points(pc, S.REFERENCE_NOISE_CLASSES)
+    assert ref.shape[0] == 4
 
 
 def test_drop_noise_points_windowed():

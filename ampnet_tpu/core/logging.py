@@ -9,7 +9,6 @@ torch dependency required), TB events are best-effort.
 from __future__ import annotations
 
 import csv
-import json
 import os
 import time
 from typing import Dict, Optional

@@ -10,7 +10,7 @@ pipeline; real LAS tiles drop into the exact same code path via data/las_io.py.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 from ampnet_tpu.core.logging import append_results_csv

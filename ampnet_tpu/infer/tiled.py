@@ -21,7 +21,6 @@ reused across every cloud that tiles to ``k`` clusters.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ampnet_tpu.ops.pallas.fused_mlp import fold_bn, fused_mlp_chain

@@ -17,7 +17,7 @@ the MXU; global max-pool is mask-aware for variable-size test clouds).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

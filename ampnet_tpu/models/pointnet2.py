@@ -18,7 +18,7 @@ from the published PointNet++ design, static-shape throughout:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

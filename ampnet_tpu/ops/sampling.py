@@ -16,7 +16,7 @@ step — the same asymptotics as the best published TPU-side FPS variants.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

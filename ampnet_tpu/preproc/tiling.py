@@ -15,8 +15,6 @@ via ``assigner='exact_mcf'`` when bit-faithful reference parity is wanted.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ampnet_tpu.ops.kmeans import num_tiles_train

@@ -19,7 +19,7 @@ Reference quirks handled deliberately (SURVEY.md §7 hard-part 6):
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -11,8 +11,7 @@ the epoch driver never pulls per-point predictions to the host.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

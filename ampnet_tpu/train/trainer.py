@@ -193,8 +193,6 @@ class Trainer:
                 and self.epochs_since_improvement % t.plateau_patience == 0
             ):
                 # plateau LR decay (reference adjust_learning_rate semantics)
-                import jax.numpy as jnp
-
                 new_scale = self.state.lr_scale * t.plateau_gamma
                 self.state = self.state.replace(lr_scale=new_scale)
                 self.log_train.scalar("lr_scale", float(new_scale), epoch)

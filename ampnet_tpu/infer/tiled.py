@@ -60,30 +60,38 @@ class TiledInferencer:
         return self.n_points if n <= self.n_points else 2 * self.n_points
 
     def _bucket_fn(self, k: int, cap: int):
-        """Jitted whole-pipeline program for clouds tiling into k clusters of cap pts."""
+        """Jitted whole-pipeline program for clouds tiling into k clusters of cap
+        points. Batched over clouds: input [B, k*cap, 9] — per-cloud k-means runs
+        under vmap, then one [B, k, cap, ·] model forward serves the whole batch
+        (dispatch latency amortizes across clouds in serving)."""
         if (k, cap) in self._fns:
             return self._fns[(k, cap)]
         model = self.model
 
-        @jax.jit
-        def run(variables, points: jnp.ndarray, key: jax.Array):
-            # points: [k*cap, 9] (already replicate-padded on host)
+        def tile_one(points: jnp.ndarray, key: jax.Array):
             n = points.shape[0]
             if k > 1:
                 feats = points[:, KMEANS_FEATURE_IDX]
                 assign, _ = balanced_kmeans(
                     feats, k, key, capacities=(cap,) * k, exact=True
                 )
-                order = jnp.argsort(assign, stable=True)
-            else:
-                order = jnp.arange(n)
-            windows = points[order].reshape(1, k, cap, points.shape[-1])
-            centroids = windows[..., :2].mean(axis=2)  # [1, k, 2]
+                return jnp.argsort(assign, stable=True)
+            return jnp.arange(n)
+
+        @jax.jit
+        def run(variables, points: jnp.ndarray, keys: jax.Array):
+            # points: [B, k*cap, 9] (already replicate-padded on host)
+            b, n, f = points.shape
+            order = jax.vmap(tile_one)(points, keys)  # [B, k*cap]
+            gathered = jnp.take_along_axis(points, order[..., None], axis=1)
+            windows = gathered.reshape(b, k, cap, f)
+            centroids = windows[..., :2].mean(axis=2)  # [B, k, 2]
             logits, _, _ = model.apply(
                 variables, windows, centroids, None, train=False
             )
-            preds = jnp.argmax(logits, axis=-1).reshape(-1)  # [k*cap]
-            flat = jnp.zeros((n,), preds.dtype).at[order].set(preds)
+            preds = jnp.argmax(logits, axis=-1).reshape(b, n)
+            flat = jnp.zeros((b, n), preds.dtype)
+            flat = jax.vmap(lambda fl, o, p: fl.at[o].set(p))(flat, order, preds)
             return flat, order
 
         self._fns[(k, cap)] = run
@@ -104,8 +112,12 @@ class TiledInferencer:
             keep = rng.permutation(n)[:target]
             padded = points9[keep]
         run = self._bucket_fn(k, cap)
-        flat, _ = run(self.variables, jnp.asarray(padded, jnp.float32), jax.random.PRNGKey(seed))
-        flat = np.asarray(flat)
+        flat, _ = run(
+            self.variables,
+            jnp.asarray(padded, jnp.float32)[None],
+            jax.random.PRNGKey(seed)[None],
+        )
+        flat = np.asarray(flat[0])
         if target >= n:
             return flat[:n]
         out = np.zeros((n,), flat.dtype)
@@ -116,6 +128,58 @@ class TiledInferencer:
             dropped[keep] = False
             out[dropped] = np.bincount(flat, minlength=1).argmax()
         return out
+
+    def predict_many(self, clouds, seeds=None) -> list:
+        """Predictions for a list of [N_i, 9] clouds, batching same-bucket clouds
+        into single device calls (serving path: dispatch overhead amortizes)."""
+        seeds = seeds or list(range(len(clouds)))
+        results = [None] * len(clouds)
+        buckets: Dict[tuple, list] = {}
+        prepped = {}
+        for i, pc in enumerate(clouds):
+            n = pc.shape[0]
+            k = num_tiles_test(n, self.n_points, self.max_clusters)
+            cap = self._cap_for(n, k)
+            target = k * cap
+            rng = np.random.default_rng(seeds[i])
+            if target >= n:
+                dup = rng.integers(0, n, target - n)
+                padded = np.concatenate([pc, pc[dup]], axis=0)
+                keep = None
+            else:
+                keep = rng.permutation(n)[:target]
+                padded = pc[keep]
+            prepped[i] = (padded, keep, n)
+            buckets.setdefault((k, cap), []).append(i)
+
+        for (k, cap), idxs in buckets.items():
+            run = self._bucket_fn(k, cap)
+            rows = np.stack([prepped[i][0] for i in idxs])
+            # pad the cloud batch to a power of two so each (k, cap) bucket compiles
+            # for at most log2(B) batch shapes
+            b = len(idxs)
+            b_pad = 1 << (b - 1).bit_length()
+            if b_pad > b:
+                rows = np.concatenate([rows, np.repeat(rows[:1], b_pad - b, axis=0)])
+            batch = jnp.asarray(rows, jnp.float32)
+            keys = jnp.stack(
+                [jax.random.PRNGKey(seeds[i]) for i in idxs]
+                + [jax.random.PRNGKey(0)] * (b_pad - b)
+            )
+            flat, _ = run(self.variables, batch, keys)
+            flat = np.asarray(flat)
+            for row, i in enumerate(idxs):
+                _, keep, n = prepped[i]
+                if keep is None:
+                    results[i] = flat[row, :n]
+                else:
+                    out = np.zeros((n,), flat.dtype)
+                    out[keep] = flat[row]
+                    dropped = np.ones(n, bool)
+                    dropped[keep] = False
+                    out[dropped] = np.bincount(flat[row], minlength=1).argmax()
+                    results[i] = out
+        return results
 
 
 def evaluate_cloud(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> Dict:

@@ -109,3 +109,14 @@ def test_evaluate_dataset_csv(inferencer, tmp_path):
     header = open(csv_path).readline()
     for field in ("iou_tower", "miou", "oa", "inference_minutes"):
         assert field in header
+
+
+def test_predict_many_matches_single(inferencer):
+    rng = np.random.default_rng(9)
+    clouds = [make_cloud(rng, n)[0] for n in (150, 700, 730, 1200)]
+    singles = [inferencer.predict(c, seed=i) for i, c in enumerate(clouds)]
+    batched = inferencer.predict_many(clouds)
+    for s, b in zip(singles, batched):
+        assert s.shape == b.shape
+        # identical seeds → identical tiling & padding → identical predictions
+        np.testing.assert_array_equal(s, b)

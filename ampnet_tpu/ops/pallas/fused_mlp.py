@@ -82,8 +82,12 @@ def fused_mlp_chain(
     cmax = max(w.shape[1] for w in weights)
     g = block_windows or _pick_block_windows(m, n, cmax)
 
+    # 2-D blocks throughout: the window axis folds into rows. (3-D blocks with a
+    # leading dim > 1 trip a Mosaic pipelining fault at grid ≥ ~32 on this
+    # toolchain — bisected: [M,2048,12] g=2 exact through grid 16, aborts at 32.)
+    x2 = x.reshape(m * n, cin)
     flat_params = []
-    in_specs = [pl.BlockSpec((g, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((g * n, cin), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     for w, b in zip(weights, biases):
         flat_params += [w, b.reshape(1, -1)]
         in_specs += [
@@ -93,18 +97,18 @@ def fused_mlp_chain(
 
     out_shape, out_specs = [], []
     if return_acts:
-        out_shape.append(jax.ShapeDtypeStruct((m, n, cout), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((m * n, cout), x.dtype))
         out_specs.append(
-            pl.BlockSpec((g, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g * n, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
     if pool:
-        out_shape.append(jax.ShapeDtypeStruct((m, 1, cout), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((m, cout), x.dtype))
         out_specs.append(
-            pl.BlockSpec((g, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(x_ref, *refs):
-        h = x_ref[:].reshape(g * n, cin)  # windows merged into one MXU M-dim
+        h = x_ref[:]  # [g*n, cin] — windows merged into one MXU M-dim
         for i in range(n_layers):
             w = refs[2 * i][:]
             b = refs[2 * i + 1][0, :]
@@ -113,17 +117,15 @@ def fused_mlp_chain(
                 h = jnp.maximum(h, 0.0)
         o = 2 * n_layers
         if return_acts:
-            refs[o][:] = h.reshape(g, n, cout).astype(x.dtype)
+            refs[o][:] = h.astype(x.dtype)
             o += 1
         if pool:
-            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1, keepdims=True).astype(
-                x.dtype
-            )
+            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1).astype(x.dtype)
 
     flops = 2 * m * n * sum(int(w.shape[0]) * int(w.shape[1]) for w in weights)
     result = pl.pallas_call(
         kernel,
-        grid=(m,),
+        grid=(m // g,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -133,9 +135,9 @@ def fused_mlp_chain(
             bytes_accessed=int(x.size * 4 + m * n * cout * 4),
             transcendentals=0,
         ),
-    )(x, *flat_params)
+    )(x2, *flat_params)
     if return_acts and pool:
-        return result[0], result[1][:, 0, :]
+        return result[0].reshape(m, n, cout), result[1]
     if pool:
-        return result[0][:, 0, :]
-    return result[0]
+        return result[0]
+    return result[0].reshape(m, n, cout)

@@ -116,10 +116,12 @@ def cmd_preprocess(args) -> int:
                 continue
             name = window_file_name(prefix, args.dataset, tile_name, w["window_id"])
             save_cloud(os.path.join(args.out_path, name + ".pkl"), pc)
-            # stage 3: balanced k-means tiling artifact
+            # stage 3: balanced k-means tiling artifact (.npz native; .pt for
+            # drop-in compatibility with reference consumers)
             windowed = kmeans_tile_cloud(pc, n_points=args.n_points,
                                          max_clusters=args.max_windows)
-            save_cloud(os.path.join(args.out_path, f"kmeans_{name}.npz"), windowed)
+            ext = args.artifact_format
+            save_cloud(os.path.join(args.out_path, f"kmeans_{name}.{ext}"), windowed)
             produced.append(name + ".pkl")
 
     # stage 4: split lists
@@ -394,6 +396,7 @@ def cmd_demo(args) -> int:
         in_path=os.path.join(base, "las"), out_path=os.path.join(base, "data"),
         dataset="SYNTH", window_size=100.0, max_z=100.0, min_points=256,
         n_points=args.number_of_points, max_windows=5, hag_cell=2.0, seed=0,
+        artifact_format="npz",
     )
     if cmd_preprocess(b):
         return 1
@@ -444,6 +447,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max_windows", type=int, default=9)
     s.add_argument("--hag_cell", type=float, default=2.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--artifact_format", choices=["npz", "pt"], default="npz",
+                   help="kmeans artifact format (.pt = reference-compatible torch)")
     s.set_defaults(fn=cmd_preprocess)
 
     s = sub.add_parser("train", help="train a model")

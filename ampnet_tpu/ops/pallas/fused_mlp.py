@@ -48,12 +48,17 @@ def fold_bn(
 
 
 def _pick_block_windows(m: int, n: int, cmax: int, dtype_bytes: int = 4) -> int:
-    """Windows per grid program. Default 1: multi-window blocks (pass
-    ``block_windows`` explicitly) currently abort the TPU backend at production
-    scale on this Mosaic version — measured g≥2 crashes at [288, 2048, ·] while
-    small shapes are exact. Revisit with an inner point-axis loop so block size and
-    VMEM footprint decouple."""
-    return 1
+    """Windows per grid program, sized to a VMEM budget (lane padding to 128 and a
+    couple of live temporaries accounted). Multi-window ROW blocks are 20× faster
+    than one-window programs (measured 75.7 → 3.7 ms on the 288×2048×12→64→64
+    chain); 3-D blocks with leading dim > 1 fault in Mosaic, hence the 2-D layout
+    below."""
+    budget = 8 * 1024 * 1024
+    per_window = n * max(cmax, 128) * dtype_bytes * 2
+    g = min(8, max(1, budget // max(per_window, 1)))
+    while m % g:
+        g -= 1
+    return g
 
 
 @functools.partial(
@@ -102,9 +107,12 @@ def fused_mlp_chain(
             pl.BlockSpec((g * n, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
     if pool:
-        out_shape.append(jax.ShapeDtypeStruct((m, cout), x.dtype))
+        # pooled output as [m//g, g, cout] with a (1, g, cout) block: the last two
+        # block dims equal the array dims, satisfying Mosaic's tiling constraint
+        # for arbitrary g (a 2-D (g, cout) block would need g % 8 == 0)
+        out_shape.append(jax.ShapeDtypeStruct((m // g, g, cout), x.dtype))
         out_specs.append(
-            pl.BlockSpec((g, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, g, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(x_ref, *refs):
@@ -120,7 +128,7 @@ def fused_mlp_chain(
             refs[o][:] = h.astype(x.dtype)
             o += 1
         if pool:
-            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1).astype(x.dtype)
+            refs[o][:] = jnp.max(h.reshape(1, g, n, cout), axis=2).astype(x.dtype)
 
     flops = 2 * m * n * sum(int(w.shape[0]) * int(w.shape[1]) for w in weights)
     result = pl.pallas_call(
@@ -137,7 +145,7 @@ def fused_mlp_chain(
         ),
     )(x2, *flat_params)
     if return_acts and pool:
-        return result[0].reshape(m, n, cout), result[1]
+        return result[0].reshape(m, n, cout), result[1].reshape(m, cout)
     if pool:
-        return result[0]
+        return result[0].reshape(m, cout)
     return result[0].reshape(m, n, cout)

@@ -6,14 +6,14 @@ matmuls dominate inference (docs/design.md). Scheme:
 
 * weights: symmetric per-output-channel int8 (absmax), folded BatchNorm included
   (the fp32 fold from ops/pallas/fused_mlp.py runs first);
-* activations: dynamic symmetric per-window-per-layer int8 — the scale is computed
-  inside the kernel from the live activation absmax, so no calibration pass is
-  needed and accuracy tracks the data;
+* activations: dynamic symmetric int8 per block — the scale is computed inside the
+  kernel from the live activation absmax, so no calibration pass is needed;
 * accumulation: int32 on the MXU, dequantized to fp32 for bias + ReLU between
   layers.
 
-The kernel keeps the whole chain VMEM-resident like the fp32 fused kernel: one grid
-program per window, activations never touch HBM between layers.
+Layout matches the fp32 fused kernel: 2-D row blocks with multiple windows folded
+into the MXU M-dim (3-D blocks with leading dim > 1 fault in Mosaic on this
+toolchain), whole chain VMEM-resident per grid program.
 """
 
 from __future__ import annotations
@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ampnet_tpu.ops.pallas.fused_mlp import _pick_block_windows
 
 
 def quantize_weights_per_channel(
@@ -52,12 +54,7 @@ def quantized_mlp_chain(
     interpret: bool = False,
     block_windows: int = 0,
 ):
-    """int8 version of fused_mlp_chain: dynamic per-window activation scales.
-    Multiple windows per grid program (same blocking as the fp32 kernel) — the
-    activation scale is then per-block, which is fine: windows in a batch share
-    the normalized feature ranges."""
-    from ampnet_tpu.ops.pallas.fused_mlp import _pick_block_windows
-
+    """int8 version of fused_mlp_chain (dynamic per-block activation scales)."""
     m, n, cin = x.shape
     n_layers = len(wq)
     assert pool or return_acts
@@ -65,8 +62,9 @@ def quantized_mlp_chain(
     cmax = max(q.shape[1] for q in wq)
     g = block_windows or _pick_block_windows(m, n, cmax)
 
+    x2 = x.reshape(m * n, cin)
     flat_params: List[jnp.ndarray] = []
-    in_specs = [pl.BlockSpec((g, n, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((g * n, cin), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     for q, s, b in zip(wq, w_scale, biases):
         flat_params += [q, s.reshape(1, -1), b.reshape(1, -1)]
         in_specs += [
@@ -77,18 +75,18 @@ def quantized_mlp_chain(
 
     out_shape, out_specs = [], []
     if return_acts:
-        out_shape.append(jax.ShapeDtypeStruct((m, n, cout), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((m * n, cout), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((g, n, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g * n, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
     if pool:
-        out_shape.append(jax.ShapeDtypeStruct((m, 1, cout), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((m // g, g, cout), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((g, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, g, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
     def kernel(x_ref, *refs):
-        h = x_ref[:].reshape(g * n, cin).astype(jnp.float32)
+        h = x_ref[:].astype(jnp.float32)  # [g*n, cin]
         for i in range(n_layers):
             q = refs[3 * i][:]
             s_w = refs[3 * i + 1][0, :]
@@ -102,15 +100,15 @@ def quantized_mlp_chain(
                 h = jnp.maximum(h, 0.0)
         o = 3 * n_layers
         if return_acts:
-            refs[o][:] = h.reshape(g, n, cout)
+            refs[o][:] = h
             o += 1
         if pool:
-            refs[o][:] = jnp.max(h.reshape(g, n, cout), axis=1, keepdims=True)
+            refs[o][:] = jnp.max(h.reshape(1, g, n, cout), axis=2)
 
     flops = 2 * m * n * sum(int(q.shape[0]) * int(q.shape[1]) for q in wq)
     result = pl.pallas_call(
         kernel,
-        grid=(m,),
+        grid=(m // g,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -118,12 +116,12 @@ def quantized_mlp_chain(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(x.size * 4), transcendentals=0
         ),
-    )(x, *flat_params)
+    )(x2, *flat_params)
     if return_acts and pool:
-        return result[0], result[1][:, 0, :]
+        return result[0].reshape(m, n, cout), result[1].reshape(m, cout)
     if pool:
-        return result[0][:, 0, :]
-    return result[0]
+        return result[0].reshape(m, cout)
+    return result[0].reshape(m, n, cout)
 
 
 def quantize_chain(weights: Sequence[jnp.ndarray]):

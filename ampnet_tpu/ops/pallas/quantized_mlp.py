@@ -60,7 +60,12 @@ def quantized_mlp_chain(
     assert pool or return_acts
     cout = wq[-1].shape[1]
     cmax = max(q.shape[1] for q in wq)
-    g = block_windows or _pick_block_windows(m, n, cmax)
+    # int8 keeps more live temporaries per row (fp32 h + int8 hq + int32 acc), so
+    # halve the fp32 picker's window group (measured: the fp32-sized block OOMs
+    # scoped VMEM by ~4 MB at [288·2048, 12→64→64])
+    g = block_windows or max(1, _pick_block_windows(m, n, cmax) // 2)
+    while m % g:
+        g -= 1
 
     x2 = x.reshape(m * n, cin)
     flat_params: List[jnp.ndarray] = []

@@ -92,9 +92,15 @@ def measure_tpu(iters: int = 30) -> dict:
 
     variables = model.init(jax.random.PRNGKey(0), pts, cent, pad)
 
+    # AMPNET_BACKEND=xla|fused|int8 selects the inference backend (models/backends)
+    from ampnet_tpu.models.backends import make_forward
+
+    backend = os.environ.get("AMPNET_BACKEND", "xla")
+    fwd = make_forward(model, cfg, backend)
+
     @jax.jit
     def forward(variables, pts, cent, pad, carry):
-        logits, _, _ = model.apply(variables, pts + carry, cent, pad, train=False)
+        logits = fwd(variables, pts + carry, cent, pad)
         # data-dependent float scalar serializes iterations AND is not foldable:
         # an integer-modulo or *0.0-style carry lets XLA dead-code-eliminate the
         # entire network (measured: that "bench" times pure dispatch RTT)
@@ -136,6 +142,7 @@ def measure_tpu(iters: int = 30) -> dict:
         "throughput_step_ms": thr_dt * 1e3,
         "latency_step_ms": lat_dt * 1e3,
         "compile_s": compile_s,
+        "backend": backend,
         "device": str(jax.devices()[0]),
     }
 

@@ -311,7 +311,12 @@ def cmd_test(args) -> int:
 
     ds = EvalCloudDataset(args.dataset_path, files)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters)
+    backend = getattr(args, "backend", "xla")
+    if backend != "xla" and args.arch != "attention":
+        print("fused/int8 backends support the attention segmenter only", file=sys.stderr)
+        return 1
+    inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters,
+                                 backend=backend)
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
@@ -482,6 +487,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max_clusters", type=int, default=18)
     s.add_argument("--plot", action="store_true",
                    help="save pred-vs-GT 3D scatter PNGs for the first clouds")
+    s.add_argument("--backend", choices=["xla", "fused", "int8"], default="xla",
+                   help="inference backend (fused/int8 = Pallas kernels)")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "

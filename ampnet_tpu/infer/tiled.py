@@ -44,6 +44,7 @@ class TiledInferencer:
         cfg: AMPNetConfig,
         n_points: Optional[int] = None,
         max_clusters: Optional[int] = None,
+        backend: str = "xla",
     ):
         self.model = model
         self.variables = variables
@@ -52,6 +53,21 @@ class TiledInferencer:
         self.max_clusters = max_clusters or cfg.data.max_clusters_test
         self.cap = 2 * self.n_points  # static per-cluster size after replicate-padding
         self._fns: Dict[tuple, callable] = {}
+        from ampnet_tpu.models.backends import make_forward
+
+        self._forward = make_forward(model, cfg, backend)
+
+    def _warn_subsample(self, n: int, target: int) -> None:
+        if not getattr(self, "_subsample_warned", False):
+            self._subsample_warned = True
+            import sys
+
+            sys.stderr.write(
+                f"warning: cloud of {n} points exceeds max_clusters*2*n_points="
+                f"{target}; {n - target} points fall back to majority-class fill — "
+                f"raise max_clusters to cover the whole cloud (quality degrades "
+                f"substantially otherwise)\n"
+            )
 
     def _cap_for(self, n: int, k: int) -> int:
         if k > 1:
@@ -66,7 +82,7 @@ class TiledInferencer:
         (dispatch latency amortizes across clouds in serving)."""
         if (k, cap) in self._fns:
             return self._fns[(k, cap)]
-        model = self.model
+        fwd = self._forward
 
         def tile_one(points: jnp.ndarray, key: jax.Array):
             n = points.shape[0]
@@ -86,9 +102,7 @@ class TiledInferencer:
             gathered = jnp.take_along_axis(points, order[..., None], axis=1)
             windows = gathered.reshape(b, k, cap, f)
             centroids = windows[..., :2].mean(axis=2)  # [B, k, 2]
-            logits, _, _ = model.apply(
-                variables, windows, centroids, None, train=False
-            )
+            logits = fwd(variables, windows, centroids, None)
             preds = jnp.argmax(logits, axis=-1).reshape(b, n)
             flat = jnp.zeros((b, n), preds.dtype)
             flat = jax.vmap(lambda fl, o, p: fl.at[o].set(p))(flat, order, preds)
@@ -109,6 +123,7 @@ class TiledInferencer:
             padded = np.concatenate([points9, points9[dup]], axis=0)
         else:  # enormous clouds beyond max_clusters*cap: random subsample (the
             # reference caps clusters the same way, utils.py:494-495)
+            self._warn_subsample(n, target)
             keep = rng.permutation(n)[:target]
             padded = points9[keep]
         run = self._bucket_fn(k, cap)
@@ -147,6 +162,7 @@ class TiledInferencer:
                 padded = np.concatenate([pc, pc[dup]], axis=0)
                 keep = None
             else:
+                self._warn_subsample(n, target)
                 keep = rng.permutation(n)[:target]
                 padded = pc[keep]
             prepped[i] = (padded, keep, n)

@@ -75,8 +75,14 @@ def _attention_head_forward(
     return h @ hp["dense_out"]["kernel"] + hp["dense_out"]["bias"]
 
 
-def make_forward(model, cfg, backend: str = "xla", interpret: bool = False) -> Callable:
-    """Returns forward(variables, points, centroids, pad_mask) → logits."""
+def make_forward(
+    model, cfg, backend: str = "xla", interpret: Optional[bool] = None
+) -> Callable:
+    """Returns forward(variables, points, centroids, pad_mask) → logits.
+    ``interpret`` defaults to True on the CPU backend (compiled Pallas is
+    TPU-only) and False elsewhere."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if backend == "xla":
 
         def forward(variables, points, centroids, pad_mask):

@@ -68,7 +68,10 @@ class WindowEncoder(nn.Module):
         x = points.reshape(B * W, N, F)
         mask = point_mask.reshape(B * W, N) if point_mask is not None else None
 
-        bn_kw = dict(use_running_average=not train, bn_momentum=cfg.bn_momentum, dtype=cfg.dtype)
+        bn_kw = dict(
+            use_running_average=not train, bn_momentum=cfg.bn_momentum,
+            dtype=cfg.dtype, norm_mode=cfg.bn_mode,
+        )
 
         # input transform over the first `point_dim` coordinates (pointnetAtt.py:83-86)
         coords = x[..., : cfg.point_dim]

@@ -30,12 +30,19 @@ class MaskedBatchNorm(nn.Module):
     Equivalent to torch BatchNorm1d on [B, C, N] / [B, C]: statistics are computed over
     all non-feature axes (and only over ``mask``-true positions when given).
     torch's momentum 0.1 corresponds to flax-style ``ra = 0.9*ra + 0.1*batch``.
+
+    ``norm_mode='window'`` switches to per-sample (instance-norm-style) statistics —
+    reduce over the point axis only, in train AND eval. That removes the global
+    batch-statistics barrier that dominates train-mode forward cost on TPU
+    (docs/design.md) and makes window encodings batch-independent; it is a semantic
+    departure from the reference, offered as an opt-in (ModelConfig.bn_mode).
     """
 
     use_running_average: bool = False
     momentum: float = 0.9
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    norm_mode: str = "batch"  # 'batch' | 'window'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -44,6 +51,21 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(features, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if self.norm_mode == "window" and x.ndim >= 2:
+            # per-sample stats over the second-to-last (point) axis; no running
+            # averages involved — train/eval symmetric
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                mean = jnp.mean(xf, axis=-2, keepdims=True)
+                var = jnp.mean(jnp.square(xf), axis=-2, keepdims=True) - jnp.square(mean)
+            else:
+                mw = mask.astype(jnp.float32)[..., None]
+                denom = jnp.maximum(mw.sum(axis=-2, keepdims=True), 1.0)
+                mean = (xf * mw).sum(axis=-2, keepdims=True) / denom
+                var = (jnp.square(xf) * mw).sum(axis=-2, keepdims=True) / denom - jnp.square(mean)
+            y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+            return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -75,6 +97,7 @@ class PointMLP(nn.Module):
     bn_momentum: float = 0.9
     relu: bool = True
     dtype: Optional[jnp.dtype] = None
+    norm_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -83,6 +106,7 @@ class PointMLP(nn.Module):
             use_running_average=self.use_running_average,
             momentum=self.bn_momentum,
             dtype=self.dtype,
+            norm_mode=self.norm_mode,
             name="bn",
         )(x, mask)
         if self.relu:
@@ -98,6 +122,7 @@ class SharedMLP(nn.Module):
     use_running_average: bool = False
     bn_momentum: float = 0.9
     dtype: Optional[jnp.dtype] = None
+    norm_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -108,6 +133,7 @@ class SharedMLP(nn.Module):
                 use_running_average=self.use_running_average,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                norm_mode=self.norm_mode,
                 name=f"mlp_{i}",
             )(x, mask)
         return x
@@ -138,6 +164,9 @@ class TNet(nn.Module):
     use_running_average: bool = False
     bn_momentum: float = 0.9
     dtype: Optional[jnp.dtype] = None
+    # per-window stats apply to the point-wise trunk only; the FC head's BNs act on
+    # [B, C] where "per-window" has no meaning
+    norm_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -148,7 +177,10 @@ class TNet(nn.Module):
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
         )
-        h = SharedMLP(tuple(self.conv_features) + (self.bottleneck,), **kw, name="trunk")(x, mask)
+        h = SharedMLP(
+            tuple(self.conv_features) + (self.bottleneck,), **kw,
+            norm_mode=self.norm_mode, name="trunk",
+        )(x, mask)
         g = masked_max_pool(h, mask)  # [B, bottleneck]
         for i, f in enumerate(self.fc_features):
             g = nn.Dense(f, use_bias=self.use_bias, dtype=self.dtype, name=f"fc_{i}")(g)

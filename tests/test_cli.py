@@ -44,7 +44,8 @@ def test_synth_and_preprocess_roundtrip(tmp_path):
 
     rc = cmd_preprocess(ns(in_path=las_dir, out_path=out_dir, dataset="T",
                            window_size=50.0, max_z=100.0, min_points=200,
-                           n_points=256, max_windows=4, hag_cell=2.0, seed=0))
+                           n_points=256, max_windows=4, hag_cell=2.0, seed=0,
+                           artifact_format="npz"))
     assert rc == 0
     files = os.listdir(out_dir)
     assert any(f.endswith(".pkl") for f in files)
@@ -66,7 +67,8 @@ def test_preprocess_skips_corrupt_tile(tmp_path, capsys):
     (las_dir / "bad.las").write_bytes(b"NOT A LAS FILE")
     rc = cmd_preprocess(ns(in_path=str(las_dir), out_path=str(out_dir), dataset="T",
                            window_size=50.0, max_z=100.0, min_points=10,
-                           n_points=64, max_windows=2, hag_cell=2.0, seed=0))
+                           n_points=64, max_windows=2, hag_cell=2.0, seed=0,
+                           artifact_format="npz"))
     assert rc == 0  # skip-and-continue, not crash
     out = capsys.readouterr()
     assert "skipped" in out.err or "skipped" in out.out

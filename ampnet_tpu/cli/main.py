@@ -154,7 +154,10 @@ def _build_cfg(args):
 
     return AMPNetConfig(
         data=DataConfig(n_points=args.number_of_points, max_windows=args.number_of_windows),
-        model=ModelConfig(context="attention" if args.arch == "attention" else args.arch),
+        model=ModelConfig(
+            context="attention" if args.arch == "attention" else args.arch,
+            bn_mode=getattr(args, "bn_mode", "batch"),
+        ),
         train=TrainConfig(
             batch_size=args.batch_size,
             learning_rate=args.learning_rate,
@@ -474,6 +477,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--model_checkpoint", default="")
     s.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel device count (batch axis sharded over a Mesh)")
+    s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",
+                   help="'window' = per-window (instance-norm-style) statistics")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")

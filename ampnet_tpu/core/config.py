@@ -73,8 +73,10 @@ class ModelConfig:
     bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*x ; torch 0.1 ≡ 0.9 here
     bn_eps: float = 1e-5
     # 'batch' = reference-parity global batch statistics; 'window' = per-window
-    # (instance-norm-style) statistics — train/eval symmetric, no global stat
-    # barrier (faster train step), batch-independent encodings. Opt-in.
+    # (instance-norm-style) statistics — train/eval symmetric, batch-independent
+    # encodings. Measured (docs/design.md): no train-step speedup on this stack
+    # and −8 mIoU at an 80-epoch synthetic budget — keep 'batch' unless you have
+    # a reason.
     bn_mode: str = "batch"
     dtype: Any = None  # compute dtype override (None → float32; bf16 for perf runs)
 

@@ -229,9 +229,9 @@ def evaluate_dataset(
     total_cm = np.zeros((num_classes, num_classes))
     t0 = time.time()
     n_points_total = 0
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        preds = inferencer.predict(sample["points"], seed=i)
+    samples = [dataset[i] for i in range(len(dataset))]
+    all_preds = inferencer.predict_many([s["points"] for s in samples])
+    for i, (sample, preds) in enumerate(zip(samples, all_preds)):
         m = evaluate_cloud(preds, sample["labels"], num_classes)
         total_cm += m.pop("confusion")
         n_points_total += len(preds)

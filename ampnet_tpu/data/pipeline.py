@@ -23,6 +23,17 @@ from typing import Dict, Iterator
 
 import numpy as np
 
+_POOL_DATASET = None
+
+
+def _pool_init(dataset):
+    global _POOL_DATASET
+    _POOL_DATASET = dataset
+
+
+def _pool_get(i):
+    return _POOL_DATASET[i]
+
 
 def pad_windowed_sample(
     sample: Dict[str, np.ndarray],
@@ -71,6 +82,7 @@ class PaddedBatcher:
         seed: int = 0,
         prefetch: int = 2,
         pad_to_multiple: int = 1,
+        workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -81,7 +93,22 @@ class PaddedBatcher:
         self.seed = seed
         self.prefetch = prefetch
         self.pad_to_multiple = pad_to_multiple
+        # worker processes for sample loading (the reference's DataLoader
+        # num_workers / mp.Pool host parallelism); 0 = load in the prefetch thread
+        self.workers = workers
+        self._pool = None
         self.epoch = 0
+
+    def _load_samples(self, idxs):
+        if self.workers <= 0:
+            return [self.dataset[int(i)] for i in idxs]
+        if self._pool is None:
+            import multiprocessing as mp
+
+            self._pool = mp.get_context("fork").Pool(
+                self.workers, initializer=_pool_init, initargs=(self.dataset,)
+            )
+        return self._pool.map(_pool_get, [int(i) for i in idxs])
 
     def _pad_batch_to_multiple(self, batch):
         """Pad a short batch up to a multiple of `pad_to_multiple` clouds by
@@ -119,10 +146,8 @@ class PaddedBatcher:
         for b in range(n_batches):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             samples = [
-                pad_windowed_sample(
-                    self.dataset[int(i)], self.n_points, self.max_windows, rng
-                )
-                for i in idxs
+                pad_windowed_sample(s, self.n_points, self.max_windows, rng)
+                for s in self._load_samples(idxs)
             ]
             batch = {
                 "points": np.stack([s["points"] for s in samples]),
@@ -181,8 +206,7 @@ class SingleCloudBatcher(PaddedBatcher):
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             samples = []
-            for i in idxs:
-                s = self.dataset[int(i)]
+            for s in self._load_samples(idxs):
                 pts, lbl = s["points"][None], s["labels"][None]  # [1, N, F], [1, N]
                 cent = pts[:, :, :2].mean(axis=1)
                 samples.append(dict(s, points=pts, labels=lbl, centroids=cent))

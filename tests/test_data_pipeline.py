@@ -156,3 +156,15 @@ def test_pad_to_multiple(artifact_dir):
     assert (b["labels"][3:] == -1).all()
     assert all(n.startswith("<pad:") for n in b["names"][3:])
     np.testing.assert_array_equal(b["points"][3], b["points"][0])
+
+
+def test_worker_pool_loading_matches(artifact_dir):
+    d, names = artifact_dir
+    ds = WindowedCloudDataset(d, names)
+    a = list(PaddedBatcher(ds, 1, n_points=64, shuffle=False, seed=3, prefetch=0))
+    b = list(PaddedBatcher(ds, 1, n_points=64, shuffle=False, seed=3, prefetch=0,
+                           workers=2))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["points"], y["points"])
+        np.testing.assert_array_equal(x["labels"], y["labels"])

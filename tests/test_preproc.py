@@ -213,3 +213,33 @@ class TestLasCodec:
     @pytest.mark.parametrize("fmt", [3, 8])
     def test_roundtrip(self, tmp_path, rng, fmt):
         self.roundtrip(tmp_path, rng, fmt)
+
+
+class TestLasRobustness:
+    def test_truncated_file_clean_error(self, tmp_path):
+        p = tmp_path / "bad.las"
+        p.write_bytes(b"LASF" + b"\x00" * 50)  # header cut short
+        with pytest.raises(Exception):
+            read_las(str(p))
+
+    def test_non_las_rejected(self, tmp_path):
+        p = tmp_path / "x.las"
+        p.write_bytes(b"hello world")
+        with pytest.raises(ValueError, match="not a LAS"):
+            read_las(str(p))
+
+    def test_laz_rejected(self, tmp_path, rng):
+        # write a valid LAS then set the compression bit
+        n = 10
+        cloud = LasCloud(
+            x=rng.uniform(0, 10, n), y=rng.uniform(0, 10, n), z=rng.uniform(0, 10, n),
+            intensity=np.zeros(n), classification=np.ones(n, np.int64),
+            red=np.zeros(n), green=np.zeros(n), blue=np.zeros(n),
+        )
+        p = str(tmp_path / "c.las")
+        write_las(p, cloud, point_format=3)
+        data = bytearray(open(p, "rb").read())
+        data[104] |= 0x80
+        open(p, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="LAZ"):
+            read_las(p)

@@ -390,6 +390,14 @@ def cmd_fps(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    import runpy
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    runpy.run_path(os.path.join(repo, "bench.py"), run_name="__main__")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """End-to-end on synthetic data: synth → preprocess → train → test."""
     base = args.out_path
@@ -511,6 +519,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--arch", default="attention")
     s.add_argument("--window_size", type=float, default=100.0)
     s.set_defaults(fn=cmd_infer)
+
+    s = sub.add_parser("bench", help="single-chip throughput benchmark (bench.py)")
+    s.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("demo", help="synthetic end-to-end pipeline")
     s.add_argument("--out_path", default="/tmp/ampnet_demo")

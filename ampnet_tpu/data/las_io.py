@@ -90,26 +90,44 @@ class LasCloud:
         return self.extra.get("HeightAboveGround")
 
 
-def read_las(path: str) -> LasCloud:
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != b"LASF":
+def read_las(path: str, mmap: bool = False) -> LasCloud:
+    """Read a LAS file. With ``mmap=True`` the point records are memory-mapped
+    instead of copied into RAM — field access still materializes per-field arrays,
+    but GB-scale tiles never get a second whole-file copy."""
+    if mmap:
+        data = np.memmap(path, dtype=np.uint8, mode="r")
+        header_bytes = bytes(data[:512].tobytes())
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        header_bytes = data
+    if bytes(header_bytes[:4]) != b"LASF":
         raise ValueError(f"{path}: not a LAS file")
-    ver_major, ver_minor = data[24], data[25]
-    header_size = struct.unpack_from("<H", data, 94)[0]
-    point_offset = struct.unpack_from("<I", data, 96)[0]
-    fmt_byte = data[104]
+    return _parse_las(path, data, header_bytes)
+
+
+def _parse_las(path: str, data, header_bytes) -> LasCloud:
+    point_offset = struct.unpack_from("<I", header_bytes, 96)[0]
+    # make sure header + VLR region is plain bytes (mmap gives only a prefix)
+    hb = (
+        header_bytes
+        if len(header_bytes) >= point_offset
+        else bytes(np.asarray(data[:point_offset]).tobytes())
+    )
+    ver_minor = hb[25]
+    header_size = struct.unpack_from("<H", hb, 94)[0]
+    fmt_byte = hb[104]
     if fmt_byte & 0x80:
         raise ValueError(f"{path}: LAZ-compressed files are not supported")
     point_format = fmt_byte & 0x3F
-    record_len = struct.unpack_from("<H", data, 105)[0]
-    n_points = struct.unpack_from("<I", data, 107)[0]
+    record_len = struct.unpack_from("<H", hb, 105)[0]
+    n_points = struct.unpack_from("<I", hb, 107)[0]
     if ver_minor >= 4 and header_size >= 375:
-        n64 = struct.unpack_from("<Q", data, 247)[0]
+        n64 = struct.unpack_from("<Q", hb, 247)[0]
         if n64:
             n_points = n64
-    scales = struct.unpack_from("<3d", data, 131)
-    offsets = struct.unpack_from("<3d", data, 155)
+    scales = struct.unpack_from("<3d", hb, 131)
+    offsets = struct.unpack_from("<3d", hb, 155)
 
     if point_format not in _POINT_DTYPES:
         raise ValueError(f"{path}: unsupported point format {point_format}")
@@ -141,7 +159,7 @@ def read_las(path: str) -> LasCloud:
     # extra bytes: the PDAL HAG stage appends a float64/float32 HeightAboveGround
     # dimension; recover it via the Extra Bytes VLR if present
     if extra_bytes > 0:
-        name, fmt = _find_extra_dim(data, header_size, point_offset)
+        name, fmt = _find_extra_dim(hb, header_size, point_offset)
         if name and np.dtype(fmt).itemsize <= extra_bytes:
             ex = np.frombuffer(
                 data,

@@ -243,3 +243,23 @@ class TestLasRobustness:
         open(p, "wb").write(bytes(data))
         with pytest.raises(ValueError, match="LAZ"):
             read_las(p)
+
+
+def test_read_las_mmap_matches(tmp_path, rng):
+    n = 400
+    cloud = LasCloud(
+        x=rng.uniform(0, 100, n), y=rng.uniform(0, 100, n), z=rng.uniform(0, 50, n),
+        intensity=rng.integers(0, 4000, n).astype(float),
+        classification=rng.choice([1, 2, 5, 15], n),
+        red=rng.integers(0, 65535, n).astype(float),
+        green=rng.integers(0, 65535, n).astype(float),
+        blue=rng.integers(0, 65535, n).astype(float),
+        nir=rng.integers(0, 65535, n).astype(float),
+    )
+    p = str(tmp_path / "m.las")
+    write_las(p, cloud, point_format=8)
+    a = read_las(p)
+    b = read_las(p, mmap=True)
+    np.testing.assert_allclose(a.x, b.x)
+    np.testing.assert_array_equal(a.classification, b.classification)
+    np.testing.assert_array_equal(a.nir, b.nir)

@@ -102,7 +102,7 @@ def classify_las_file(
 ) -> Dict:
     """Read a LAS tile, predict, optionally write a LAS whose classification field
     carries the predicted classes (filtered points keep their original class)."""
-    las = read_las(in_path)
+    las = read_las(in_path, mmap=True)  # GB-scale tiles stream from disk
     preds, metrics = predict_tile(inferencer, las, **kw)
     if out_path:
         out_cls = np.asarray(las.classification, np.int32).copy()

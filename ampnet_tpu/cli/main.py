@@ -433,8 +433,6 @@ def cmd_demo(args) -> int:
         out_path=os.path.join(base, "run"),
         model_checkpoint=os.path.join(base, "run", "checkpoints",
                                       f"{args.arch}_segmentation_best"),
-        # enough clusters to cover the largest demo clouds without the
-        # subsample fallback (points_per_window points, n_points windows)
         arch=args.arch, max_clusters=max(6, args.points_per_window // args.number_of_points + 1),
         task="segmentation", plot=False,
     )

@@ -51,29 +51,25 @@ class TiledInferencer:
         self.cfg = cfg
         self.n_points = n_points or cfg.data.n_points
         self.max_clusters = max_clusters or cfg.data.max_clusters_test
-        self.cap = 2 * self.n_points  # static per-cluster size after replicate-padding
         self._fns: Dict[tuple, callable] = {}
         from ampnet_tpu.models.backends import make_forward
 
         self._forward = make_forward(model, cfg, backend)
 
-    def _warn_subsample(self, n: int, target: int) -> None:
-        if not getattr(self, "_subsample_warned", False):
-            self._subsample_warned = True
-            import sys
-
-            sys.stderr.write(
-                f"warning: cloud of {n} points exceeds max_clusters*2*n_points="
-                f"{target}; {n - target} points fall back to majority-class fill — "
-                f"raise max_clusters to cover the whole cloud (quality degrades "
-                f"substantially otherwise)\n"
-            )
-
     def _cap_for(self, n: int, k: int) -> int:
-        if k > 1:
-            return self.cap
-        # single-window clouds (N < 2·n_points): bucket to one or two n_points
-        return self.n_points if n <= self.n_points else 2 * self.n_points
+        """Static per-cluster capacity: smallest ``n_points * 2**j >= ceil(n/k)``.
+
+        The reference tiles test clouds with ``size_min`` ONLY (utils/utils.py:
+        500-505): once k saturates at max_clusters, clusters simply grow, so every
+        point of an arbitrarily large cloud is covered. Scaling the capacity with N
+        keeps that guarantee under static shapes (``k*cap >= n`` always — no
+        subsample, no fill), while the geometric ladder bounds the number of
+        compiled programs to O(max_clusters * log N)."""
+        need = -(-n // k)  # ceil
+        cap = self.n_points
+        while cap < need:
+            cap *= 2
+        return cap
 
     def _bucket_fn(self, k: int, cap: int):
         """Jitted whole-pipeline program for clouds tiling into k clusters of cap
@@ -116,33 +112,16 @@ class TiledInferencer:
         n = points9.shape[0]
         k = num_tiles_test(n, self.n_points, self.max_clusters)
         cap = self._cap_for(n, k)
-        target = k * cap
         rng = np.random.default_rng(seed)
-        if target >= n:
-            dup = rng.integers(0, n, target - n)
-            padded = np.concatenate([points9, points9[dup]], axis=0)
-        else:  # enormous clouds beyond max_clusters*cap: random subsample (the
-            # reference caps clusters the same way, utils.py:494-495)
-            self._warn_subsample(n, target)
-            keep = rng.permutation(n)[:target]
-            padded = points9[keep]
+        dup = rng.integers(0, n, k * cap - n)  # k*cap >= n by construction
+        padded = np.concatenate([points9, points9[dup]], axis=0)
         run = self._bucket_fn(k, cap)
         flat, _ = run(
             self.variables,
             jnp.asarray(padded, jnp.float32)[None],
             jax.random.PRNGKey(seed)[None],
         )
-        flat = np.asarray(flat[0])
-        if target >= n:
-            return flat[:n]
-        out = np.zeros((n,), flat.dtype)
-        out[keep] = flat
-        # points dropped by the cap get the overall majority class of kept points
-        if target < n:
-            dropped = np.ones(n, bool)
-            dropped[keep] = False
-            out[dropped] = np.bincount(flat, minlength=1).argmax()
-        return out
+        return np.asarray(flat[0])[:n]
 
     def predict_many(self, clouds, seeds=None) -> list:
         """Predictions for a list of [N_i, 9] clouds, batching same-bucket clouds
@@ -155,17 +134,9 @@ class TiledInferencer:
             n = pc.shape[0]
             k = num_tiles_test(n, self.n_points, self.max_clusters)
             cap = self._cap_for(n, k)
-            target = k * cap
             rng = np.random.default_rng(seeds[i])
-            if target >= n:
-                dup = rng.integers(0, n, target - n)
-                padded = np.concatenate([pc, pc[dup]], axis=0)
-                keep = None
-            else:
-                self._warn_subsample(n, target)
-                keep = rng.permutation(n)[:target]
-                padded = pc[keep]
-            prepped[i] = (padded, keep, n)
+            dup = rng.integers(0, n, k * cap - n)  # k*cap >= n by construction
+            prepped[i] = (np.concatenate([pc, pc[dup]], axis=0), n)
             buckets.setdefault((k, cap), []).append(i)
 
         for (k, cap), idxs in buckets.items():
@@ -185,16 +156,7 @@ class TiledInferencer:
             flat, _ = run(self.variables, batch, keys)
             flat = np.asarray(flat)
             for row, i in enumerate(idxs):
-                _, keep, n = prepped[i]
-                if keep is None:
-                    results[i] = flat[row, :n]
-                else:
-                    out = np.zeros((n,), flat.dtype)
-                    out[keep] = flat[row]
-                    dropped = np.ones(n, bool)
-                    dropped[keep] = False
-                    out[dropped] = np.bincount(flat[row], minlength=1).argmax()
-                    results[i] = out
+                results[i] = flat[row, : prepped[i][1]]
         return results
 
 
@@ -219,34 +181,43 @@ def evaluate_dataset(
     model_name: str = "ampnet_tpu",
     plot_dir: Optional[str] = None,
     plot_limit: int = 8,
+    chunk_size: int = 16,
 ) -> Dict:
     """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
     summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284).
     With ``plot_dir``, saves pred-vs-GT 3D scatters for the first clouds (the
-    reference's visual-inspection loop, utils_plot.py:100-171)."""
+    reference's visual-inspection loop, utils_plot.py:100-171).
+
+    Clouds are loaded and predicted ``chunk_size`` at a time, so peak host memory
+    is bounded by the chunk (GB-scale test lists stream instead of materializing);
+    within a chunk, same-bucket clouds still batch into single device calls."""
     num_classes = inferencer.cfg.model.num_classes
     rows: List[Dict] = []
     total_cm = np.zeros((num_classes, num_classes))
     t0 = time.time()
     n_points_total = 0
-    samples = [dataset[i] for i in range(len(dataset))]
-    all_preds = inferencer.predict_many([s["points"] for s in samples])
-    for i, (sample, preds) in enumerate(zip(samples, all_preds)):
-        m = evaluate_cloud(preds, sample["labels"], num_classes)
-        total_cm += m.pop("confusion")
-        n_points_total += len(preds)
-        rows.append({"name": sample["name"], **m})
-        if plot_dir and i < plot_limit:
-            import os
+    for start in range(0, len(dataset), chunk_size):
+        chunk = [dataset[j] for j in range(start, min(start + chunk_size, len(dataset)))]
+        chunk_preds = inferencer.predict_many(
+            [s["points"] for s in chunk], seeds=list(range(start, start + len(chunk)))
+        )
+        for i, (sample, preds) in enumerate(zip(chunk, chunk_preds), start=start):
+            m = evaluate_cloud(preds, sample["labels"], num_classes)
+            total_cm += m.pop("confusion")
+            n_points_total += len(preds)
+            rows.append({"name": sample["name"], **m})
+            if plot_dir and i < plot_limit:
+                import os
 
-            from ampnet_tpu.core.plotting import plot_predictions_vs_truth
+                from ampnet_tpu.core.plotting import plot_predictions_vs_truth
 
-            os.makedirs(plot_dir, exist_ok=True)
-            plot_predictions_vs_truth(
-                sample["points"][:, :3], preds, sample["labels"],
-                save_to=os.path.join(plot_dir, f"{sample['name']}.png"),
-                title=sample["name"],
-            )
+                os.makedirs(plot_dir, exist_ok=True)
+                plot_predictions_vs_truth(
+                    sample["points"][:, :3], preds, sample["labels"],
+                    save_to=os.path.join(plot_dir, f"{sample['name']}.png"),
+                    title=sample["name"],
+                )
+        del chunk, chunk_preds
     elapsed = time.time() - t0
     minutes = elapsed / 60
 

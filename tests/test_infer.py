@@ -56,14 +56,37 @@ def test_predict_covers_every_point(inferencer, n):
     assert ((preds >= 0) & (preds < 5)).all()
 
 
-def test_cap_subsample_path(inferencer):
-    """Clouds beyond max_clusters*cap trigger the subsample branch and still yield
-    a prediction for every point."""
+def test_huge_cloud_full_coverage(inferencer):
+    """Clouds far beyond max_clusters*2*n_points are fully covered: the per-cluster
+    capacity scales with N (reference size_min-only tiling, utils/utils.py:500-505),
+    so every point gets a real model prediction — no subsample, no majority fill."""
     rng = np.random.default_rng(0)
-    n = 6 * 2 * N_POINTS + 500
+    n = 6 * 2 * N_POINTS * 4 + 500  # would have been subsampled by a fixed cap
     feats, _ = make_cloud(rng, n)
+    k = 6  # num_tiles_test caps at max_clusters_test
+    cap = inferencer._cap_for(n, k)
+    assert k * cap >= n, "capacity must cover the whole cloud"
     preds = inferencer.predict(feats, seed=0)
     assert preds.shape == (n,)
+    assert ((preds >= 0) & (preds < 5)).all()
+    # determinism: same seed → same tiling → same predictions
+    np.testing.assert_array_equal(preds, inferencer.predict(feats, seed=0))
+
+
+def test_cap_ladder_covers_and_bounds_programs(inferencer):
+    """k*cap >= n for any n, and caps come from the geometric n_points*2^j ladder
+    (bounded compiled-program count)."""
+    from ampnet_tpu.ops.kmeans import num_tiles_test
+
+    caps = set()
+    for n in [10, 255, 256, 257, 511, 513, 4096, 10_000, 50_000, 300_000]:
+        k = num_tiles_test(n, inferencer.n_points, inferencer.max_clusters)
+        cap = inferencer._cap_for(n, k)
+        assert k * cap >= n
+        ratio = cap // inferencer.n_points
+        assert cap % inferencer.n_points == 0 and (ratio & (ratio - 1)) == 0
+        caps.add((k, cap))
+    assert len(caps) <= 8  # log-bucketed
 
 
 def test_bucket_fn_reuse(inferencer):
@@ -109,6 +132,35 @@ def test_evaluate_dataset_csv(inferencer, tmp_path):
     header = open(csv_path).readline()
     for field in ("iou_tower", "miou", "oa", "inference_minutes"):
         assert field in header
+
+
+def test_evaluate_dataset_streams_chunks(inferencer):
+    """evaluate_dataset must not materialize the whole dataset: clouds are loaded
+    chunk-by-chunk and earlier chunks become garbage before later ones load
+    (bounded peak host memory on GB-scale test lists)."""
+    import gc
+    import weakref
+
+    rng = np.random.default_rng(5)
+    clouds = [make_cloud(rng, 300 + 50 * i) for i in range(5)]
+    refs = {}
+
+    class TrackingDataset(CloudListDataset):
+        def __getitem__(self, i):
+            # chunk_size=2: by the time cloud 4 loads, chunk {0,1} must be dead
+            if i == 4:
+                gc.collect()
+                assert refs[0]() is None and refs[1]() is None, (
+                    "first chunk still resident while loading cloud 4"
+                )
+            f, l = self.clouds[i]
+            f = f.copy()  # fresh array per load so weakrefs track residency
+            refs[i] = weakref.ref(f)
+            return {"points": f, "labels": l, "name": f"cloud{i}"}
+
+    ds = TrackingDataset(clouds)
+    out = evaluate_dataset(inferencer, ds, chunk_size=2)
+    assert out["summary"]["n_clouds"] == 5
 
 
 def test_predict_many_matches_single(inferencer):

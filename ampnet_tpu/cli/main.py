@@ -124,11 +124,23 @@ def cmd_preprocess(args) -> int:
             save_cloud(os.path.join(args.out_path, f"kmeans_{name}.{ext}"), windowed)
             produced.append(name + ".pkl")
 
-    # stage 4: split lists
-    generate_split_lists(
-        produced, args.out_path, task="segmentation",
+    # stage 4: split lists — geographic block JSONs (the reference's evaluation
+    # protocol, generate_train_test_lists.py:106-210) or a seeded random split
+    blocks = None
+    if getattr(args, "blocks_json", None):
+        blocks = {}
+        for path in args.blocks_json:
+            with open(path) as f:
+                mapping = json.load(f)
+            for split, names in mapping.items():
+                blocks.setdefault(split, []).extend(names)
+    assigned = generate_split_lists(
+        produced, args.out_path, task="segmentation", blocks=blocks,
         fractions={"train": 0.7, "val": 0.15, "test": 0.15}, seed=args.seed,
     )
+    if blocks and assigned.get("unmatched"):
+        print(f"warning: {len(assigned['unmatched'])} windows matched no block in "
+              f"{args.blocks_json} and joined no split", file=sys.stderr)
     msg = f"preprocessed {len(produced)} windows from {len(tiles)} tiles → {args.out_path}"
     if n_failed:
         msg += f" ({n_failed} unreadable tiles skipped)"
@@ -466,6 +478,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--artifact_format", choices=["npz", "pt"], default="npz",
                    help="kmeans artifact format (.pt = reference-compatible torch)")
+    s.add_argument("--blocks_json", nargs="+", default=None,
+                   help="one or more {split: [block names]} JSONs (the reference's "
+                        "dataset_blocks_partition_*.json geographic splits); window "
+                        "names containing a block name join that split instead of "
+                        "the random split")
     s.set_defaults(fn=cmd_preprocess)
 
     s = sub.add_parser("train", help="train a model")

@@ -61,6 +61,31 @@ def test_synth_and_preprocess_roundtrip(tmp_path):
     assert pc[:, 0].min() >= 0 and pc[:, 0].max() <= 1
 
 
+def test_preprocess_blocks_json_splits(tmp_path):
+    """--blocks_json assigns windows to splits by geographic block membership
+    (generate_train_test_lists.py:106-210) instead of randomly."""
+    las_dir, out_dir = str(tmp_path / "las"), str(tmp_path / "out")
+    cmd_synth(ns(out_path=las_dir, n_tiles=3, windows_per_tile=2,
+                 points_per_window=2000, window_size=50.0, seed=0))
+    blocks = {"train": ["tile0", "tile1"], "val": ["tile2"], "test": []}
+    bj = str(tmp_path / "blocks.json")
+    with open(bj, "w") as f:
+        json.dump(blocks, f)
+
+    rc = cmd_preprocess(ns(in_path=las_dir, out_path=out_dir, dataset="T",
+                           window_size=50.0, max_z=100.0, min_points=200,
+                           n_points=256, max_windows=4, hag_cell=2.0, seed=0,
+                           artifact_format="npz", blocks_json=[bj]))
+    assert rc == 0
+    train = open(os.path.join(out_dir, "train_seg_files.txt")).read()
+    val = open(os.path.join(out_dir, "val_seg_files.txt")).read()
+    assert train and val
+    assert all("tile0" in ln or "tile1" in ln for ln in train.splitlines())
+    assert all("tile2" in ln for ln in val.splitlines())
+    # every produced window landed in exactly its block's split
+    assert "tile2" not in train and "tile0" not in val
+
+
 def test_preprocess_skips_corrupt_tile(tmp_path, capsys):
     las_dir, out_dir = tmp_path / "las", tmp_path / "out"
     las_dir.mkdir()

@@ -169,6 +169,7 @@ def _build_cfg(args):
         model=ModelConfig(
             context="attention" if args.arch == "attention" else args.arch,
             bn_mode=getattr(args, "bn_mode", "batch"),
+            dtype=None if getattr(args, "dtype", "float32") == "float32" else args.dtype,
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -505,6 +506,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel device count (batch axis sharded over a Mesh)")
     s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",
                    help="'window' = per-window (instance-norm-style) statistics")
+    s.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="compute dtype (params stay fp32); bfloat16 measured "
+                        "+57%% train throughput on one v5e")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")

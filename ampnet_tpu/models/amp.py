@@ -103,6 +103,14 @@ class WindowEncoder(nn.Module):
         return local_feats, global_feats, t_feat
 
 
+def _remat_encoder():
+    """WindowEncoder with backward-pass rematerialization (cfg.remat): residual
+    per-point activations are recomputed instead of stored. static_argnums=(3,)
+    marks the ``train`` flag (a python bool) static — flax lifts ``__call__`` as
+    ``(scope, points, point_mask, train)``."""
+    return nn.remat(WindowEncoder, static_argnums=(3,))
+
+
 class CentroidPositionalEncoding(nn.Module):
     """MLP 2→16→embed_dim with leaky ReLU (pointnetAtt.py:160-161,183-185)."""
 
@@ -230,8 +238,9 @@ class AMPNetSegmenter(nn.Module):
         train: bool = False,
     ):
         cfg = self.cfg
-        local_feats, global_feats, t_feat = WindowEncoder(cfg, name="encoder")(
-            points, point_mask, train=train
+        enc_cls = _remat_encoder() if cfg.remat else WindowEncoder
+        local_feats, global_feats, t_feat = enc_cls(cfg, name="encoder")(
+            points, point_mask, train
         )
         attn_weights = None
         if cfg.context == "attention":
@@ -291,8 +300,9 @@ class AMPNetClassifier(nn.Module):
         train: bool = False,
     ):
         cfg = self.cfg
-        _, global_feats, t_feat = WindowEncoder(cfg, name="encoder")(
-            points, point_mask, train=train
+        enc_cls = _remat_encoder() if cfg.remat else WindowEncoder
+        _, global_feats, t_feat = enc_cls(cfg, name="encoder")(
+            points, point_mask, train
         )
         attn_weights = None
         if cfg.context == "attention":

@@ -76,6 +76,7 @@ def make_sharded_step_fns(cfg: AMPNetConfig, mesh: Mesh, augment: bool = True):
         train_step.__wrapped__ if hasattr(train_step, "__wrapped__") else train_step,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
+        donate_argnums=0,
     )
     sharded_eval = jax.jit(
         eval_step.__wrapped__ if hasattr(eval_step, "__wrapped__") else eval_step,

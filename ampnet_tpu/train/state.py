@@ -86,3 +86,15 @@ def create_train_state(
         epoch=jnp.zeros((), jnp.int32),
         lr_scale=jnp.ones((), jnp.float32),
     )
+
+
+def clone_state(state: AMPTrainState) -> AMPTrainState:
+    """Deep-copy every array leaf of a train state.
+
+    ``train_step`` donates its input state (buffers update in place on device);
+    callers that need to keep the pre-step state alive — A/B experiments, tests
+    sharing a fixture, optimizer-state inspection — must clone first.
+    """
+    return jax.tree.map(
+        lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x, state
+    )

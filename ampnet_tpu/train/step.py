@@ -11,6 +11,7 @@ the epoch driver never pulls per-point predictions to the host.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -73,7 +74,9 @@ def make_step_fns(
 
     recipe = tuple(cfg.train.augmentations) if augment else ()
 
-    @jax.jit
+    # donate the input state: params/opt buffers update in place instead of
+    # double-buffering (the caller always replaces its state reference)
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state: AMPTrainState, batch: Batch):
         rng = jax.random.fold_in(state.rng, state.step)
         keys = jax.random.split(rng, len(recipe) + 1)

@@ -147,13 +147,64 @@ def measure_tpu(iters: int = 30) -> dict:
     }
 
 
+def measure_train(iters: int = 12) -> dict:
+    """Steady-state TRAIN-step throughput (augment + fwd + bwd + Adam), fp32 and
+    bf16 activations. The state chains between iterations (true data dependency)
+    and one final loss fetch closes the timed region — same honest-timing rules
+    as inference. Reported in the stderr detail only (stdout stays one line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ampnet_tpu.core.config import AMPNetConfig, ModelConfig
+    from ampnet_tpu.models.amp import AMPNetSegmenter
+    from ampnet_tpu.train.state import create_train_state
+    from ampnet_tpu.train.step import make_step_fns
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": jnp.asarray(rng.normal(size=(BATCH, WINDOWS, POINTS, FEATS)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(-1, 5, size=(BATCH, WINDOWS, POINTS)).astype(np.int32)),
+        "centroids": jnp.asarray(rng.normal(size=(BATCH, WINDOWS, 2)).astype(np.float32)),
+    }
+    out = {}
+    for name, dtype in (("fp32", None), ("bf16", "bfloat16")):
+        cfg = AMPNetConfig(model=ModelConfig(dtype=dtype))
+        model = AMPNetSegmenter(cfg.model)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+        train_step, _ = make_step_fns(cfg, augment=True)
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch)
+        float(metrics["loss"])
+        compile_s = time.perf_counter() - t0
+        for _ in range(2):
+            state, metrics = train_step(state, batch)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = train_step(state, batch)
+        float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        out[name] = {
+            "step_ms": dt * 1e3,
+            "windows_per_sec": BATCH * WINDOWS / dt,
+            "compile_s": compile_s,
+        }
+        del state, train_step, model
+    return out
+
+
 def main():
     baseline = get_baseline()
     tpu = measure_tpu()
+    try:
+        train = measure_train()
+    except Exception as e:  # training detail must never break the bench contract
+        train = {"error": str(e)}
     value = tpu["windows_per_sec"]
     vs = value / baseline["windows_per_sec"]
     detail = {
         "tpu": tpu,
+        "tpu_train": train,
         "baseline_cpu_torch": baseline,
     }
     sys.stderr.write(json.dumps(detail, indent=2) + "\n")

@@ -45,8 +45,12 @@ def test_sharded_step_matches_single_device(cfg, setup):
     train_single, eval_single = make_step_fns(cfg, augment=False)
     train_shard, eval_shard = make_sharded_step_fns(cfg, mesh, augment=False)
 
-    s1, m1 = train_single(state, batch)
-    s8, m8 = train_shard(replicate_state(state, mesh), shard_batch(batch, mesh))
+    # train steps donate their input state: give each its own copy and keep
+    # the fixture state alive for the gradient comparison below
+    from ampnet_tpu.train.state import clone_state
+
+    s1, m1 = train_single(clone_state(state), batch)
+    s8, m8 = train_shard(replicate_state(clone_state(state), mesh), shard_batch(batch, mesh))
 
     assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
     np.testing.assert_allclose(

@@ -10,7 +10,7 @@ from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
 from ampnet_tpu.core.metrics import iou_from_confusion
 from ampnet_tpu.data.synthetic import synthetic_batch
 from ampnet_tpu.models.amp import AMPNetSegmenter
-from ampnet_tpu.train.state import create_train_state
+from ampnet_tpu.train.state import clone_state, create_train_state
 from ampnet_tpu.train.step import make_step_fns, window_pad_mask_from_labels
 
 
@@ -36,6 +36,7 @@ def test_window_pad_mask():
 
 def test_train_step_runs_and_learns(cfg, setup):
     model, state, batch = setup
+    state = clone_state(state)
     train_step, eval_step = make_step_fns(cfg, augment=False)
     losses = []
     for _ in range(40):
@@ -53,6 +54,7 @@ def test_train_step_runs_and_learns(cfg, setup):
 
 def test_train_step_with_augmentation_is_finite(cfg, setup):
     model, state, batch = setup
+    state = clone_state(state)
     train_step, _ = make_step_fns(cfg, augment=True)
     for _ in range(3):
         state, metrics = train_step(state, batch)
@@ -69,6 +71,7 @@ def test_confusion_excludes_padding(cfg, setup):
 
 def test_step_count_and_lr_schedule(cfg, setup):
     model, state, batch = setup
+    state = clone_state(state)
     train_step, _ = make_step_fns(cfg)
     s1, _ = train_step(state, batch)
     assert int(s1.step) == int(state.step) + 1
@@ -79,7 +82,7 @@ def test_gradients_flow_to_all_params(cfg, setup):
     (guards against dead branches in the vectorized rewrite)."""
     model, state, batch = setup
     train_step, _ = make_step_fns(cfg, augment=False)
-    s = state
+    s = clone_state(state)  # train_step donates: keep the fixture state alive
     for _ in range(3):
         s, _ = train_step(s, batch)
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, s.params)
@@ -94,6 +97,7 @@ def test_full_augmentation_recipe(cfg, setup):
     from ampnet_tpu.core.config import AMPNetConfig, TrainConfig
 
     model, state, batch = setup
+    state = clone_state(state)
     cfg2 = AMPNetConfig(
         train=TrainConfig(
             augmentations=(
@@ -115,3 +119,31 @@ def test_unknown_augmentation_rejected(cfg, setup):
         make_step_fns(AMPNetConfig(train=TrainConfig(augmentations=("bogus",))))[0](
             setup[1], setup[2]
         )
+
+
+def test_remat_encoder_exact_parity(cfg, setup):
+    """cfg.model.remat must not change numerics (same params tree, same outputs,
+    same gradients) — it only changes what the backward pass stores vs recomputes."""
+    import dataclasses
+
+    model, state, batch = setup
+    cfg_r = AMPNetConfig(model=dataclasses.replace(cfg.model, remat=True),
+                         train=cfg.train)
+    model_r = AMPNetSegmenter(cfg_r.model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pad = window_pad_mask_from_labels(batch["labels"])
+
+    out = model.apply(variables, batch["points"], batch["centroids"], pad, train=False)
+    out_r = model_r.apply(variables, batch["points"], batch["centroids"], pad, train=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_r[0]), rtol=0, atol=0)
+
+    def loss(m):
+        def f(params):
+            logits, _, _ = m.apply({"params": params, "batch_stats": state.batch_stats},
+                                   batch["points"], batch["centroids"], pad, train=False)
+            return (logits ** 2).mean()
+        return jax.grad(f)(state.params)
+
+    g, g_r = loss(model), loss(model_r)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), g, g_r)

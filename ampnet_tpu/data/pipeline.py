@@ -138,10 +138,15 @@ class PaddedBatcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batches(self, rng: np.random.Generator) -> Iterator[Dict]:
+    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
+        """Sample order for one epoch; subclasses shard this across hosts."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        return order
+
+    def _make_batches(self, rng: np.random.Generator) -> Iterator[Dict]:
+        order = self._epoch_order(rng)
         n_batches = len(self)
         for b in range(n_batches):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
@@ -222,6 +227,77 @@ class SingleCloudBatcher(PaddedBatcher):
             if "cls_label" in samples[0]:
                 batch["cls_label"] = np.asarray([s["cls_label"] for s in samples])
             yield self._pad_batch_to_multiple(batch)
+
+
+class HostShardedBatcher(PaddedBatcher):
+    """Per-host shard loading for multi-host (multi-process) training.
+
+    The reference has no distributed backend at all (SURVEY §2.6); this is the
+    TPU-native input side of it: every host draws the SAME seeded global epoch
+    permutation, then loads only its ``1/host_count`` interleaved slice of each
+    global batch — so a GB-scale dataset never materializes on one host and the
+    union of all hosts' batches is exactly the single-host epoch. Pair with
+    ``global_device_batch`` to assemble the global jax.Array
+    (``jax.make_array_from_process_local_data``) for a pjit-sharded train step.
+
+    ``host_id``/``host_count`` default to ``jax.process_index()/count()`` so the
+    same code runs single-host (1/1) and multi-host unchanged.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        global_batch_size: int,
+        host_id: int = None,
+        host_count: int = None,
+        **kw,
+    ):
+        if host_id is None or host_count is None:
+            import jax
+
+            host_id = jax.process_index() if host_id is None else host_id
+            host_count = jax.process_count() if host_count is None else host_count
+        if global_batch_size % host_count:
+            raise ValueError(
+                f"global_batch_size {global_batch_size} not divisible by "
+                f"host_count {host_count}"
+            )
+        self.host_id = host_id
+        self.host_count = host_count
+        self.global_batch_size = global_batch_size
+        super().__init__(dataset, batch_size=global_batch_size // host_count, **kw)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return (n + self.global_batch_size - 1) // self.global_batch_size
+
+    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
+        # identical global permutation on every host (same seed+epoch), then an
+        # interleaved per-host slice of each global batch
+        order = super()._epoch_order(rng)
+        n = len(self) * self.global_batch_size
+        order = order[:n].reshape(-1, self.host_count, self.batch_size)
+        return order[:, self.host_id].reshape(-1)
+
+
+def global_device_batch(local_batch: Dict, mesh) -> Dict:
+    """Assemble a GLOBAL batch-sharded jax.Array from this host's local batch.
+
+    Each host contributes its HostShardedBatcher slice; the result behaves like a
+    device_put of the concatenated global batch sharded over the mesh's 'data'
+    axis (single-host this degenerates to exactly that)."""
+    import jax
+
+    from ampnet_tpu.parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.make_array_from_process_local_data(sh, v)
+    return out
 
 
 def to_device_batch(batch: Dict, mesh=None) -> Dict:

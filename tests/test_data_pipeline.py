@@ -168,3 +168,75 @@ def test_worker_pool_loading_matches(artifact_dir):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["points"], y["points"])
         np.testing.assert_array_equal(x["labels"], y["labels"])
+
+
+class _IndexDataset:
+    """Samples carry their identity so shard coverage is checkable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "points": rng.normal(size=(2, 16, 9)).astype(np.float32),
+            "labels": np.full((2, 16), i % 5, np.int32),
+            "centroids": rng.normal(size=(2, 2)).astype(np.float32),
+            "name": f"s{i}",
+        }
+
+
+class TestHostShardedBatcher:
+    def test_hosts_partition_each_global_batch(self):
+        from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+        n, gb, hosts = 23, 8, 4
+        shards = [
+            HostShardedBatcher(_IndexDataset(n), gb, host_id=h, host_count=hosts,
+                               n_points=16, max_windows=2, seed=3, prefetch=0)
+            for h in range(hosts)
+        ]
+        per_host = [list(s) for s in shards]
+        n_batches = n // gb
+        assert all(len(p) == n_batches for p in per_host)
+        seen = set()
+        for b in range(n_batches):
+            batch_names = []
+            for p in per_host:
+                assert p[b]["points"].shape == (gb // hosts, 2, 16, 9)
+                batch_names += p[b]["names"]
+            # the union of host slices is one full global batch, no overlap
+            assert len(set(batch_names)) == gb
+            assert not (set(batch_names) & seen)
+            seen |= set(batch_names)
+        assert len(seen) == n_batches * gb  # epoch coverage (drop_last trim)
+
+    def test_single_host_degenerates_to_padded_batcher(self):
+        from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+        ds = _IndexDataset(12)
+        a = PaddedBatcher(ds, 4, n_points=16, max_windows=2, seed=1, prefetch=0)
+        b = HostShardedBatcher(ds, 4, host_id=0, host_count=1,
+                               n_points=16, max_windows=2, seed=1, prefetch=0)
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["points"], bb["points"])
+            assert ba["names"] == bb["names"]
+
+    def test_global_device_batch_matches_device_put(self):
+        import jax
+
+        from ampnet_tpu.data.pipeline import HostShardedBatcher, global_device_batch
+        from ampnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4)
+        ds = _IndexDataset(8)
+        sb = HostShardedBatcher(ds, 8, host_id=0, host_count=1,
+                                n_points=16, max_windows=2, seed=0, prefetch=0)
+        local = next(iter(sb))
+        g = global_device_batch(local, mesh)
+        assert g["points"].shape == (8, 2, 16, 9)
+        np.testing.assert_array_equal(np.asarray(g["points"]), local["points"])
+        assert len(g["points"].sharding.device_set) == 4

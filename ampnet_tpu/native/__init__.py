@@ -58,6 +58,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.ampnet_fps_grid.restype = None
+    lib.ampnet_fps_grid.argtypes = lib.ampnet_fps.argtypes
     _lib = lib
     return _lib
 
@@ -117,8 +119,12 @@ def mcf_balanced_assign(points: np.ndarray, k: int, size: int, seed: int = 0) ->
     return assign
 
 
-def fps_native(points: np.ndarray, n_samples: int) -> np.ndarray:
-    """Farthest-point-sampling indices (reference utils/utils.py:889-933 semantics)."""
+def fps_native(points: np.ndarray, n_samples: int, method: str = "auto") -> np.ndarray:
+    """Farthest-point-sampling indices (reference utils/utils.py:889-933 semantics).
+
+    ``method``: 'naive' = O(N·S) scan; 'grid' = bbox-pruned bucketed scan with
+    bit-identical results (FlashFPS-style pruning, PAPERS.md); 'auto' picks 'grid'
+    for large offline tiles where pruning pays for its bucketing."""
     pts = np.ascontiguousarray(points, np.float32)
     n, d = pts.shape
     lib = _load()
@@ -128,7 +134,10 @@ def fps_native(points: np.ndarray, n_samples: int) -> np.ndarray:
         import jax.numpy as jnp
 
         return np.asarray(farthest_point_sampling(jnp.asarray(pts), n_samples))
-    lib.ampnet_fps(_ptr(pts, ctypes.c_float), n, d, n_samples, _ptr(out, ctypes.c_int32))
+    if method == "auto":
+        method = "grid" if n >= 16384 else "naive"
+    fn = lib.ampnet_fps_grid if method == "grid" else lib.ampnet_fps
+    fn(_ptr(pts, ctypes.c_float), n, d, n_samples, _ptr(out, ctypes.c_int32))
     return out
 
 

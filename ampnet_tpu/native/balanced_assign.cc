@@ -260,4 +260,135 @@ void ampnet_fps(const float* pts, int32_t n, int32_t d, int32_t m, int32_t* out)
   }
 }
 
+// Grid-pruned exact FPS for large offline tiles (same results as ampnet_fps,
+// bit-exact including ties — smallest index among maxima). Pruning idea follows
+// the bucketed FPS literature (FlashFPS/QuickFPS, see repo PAPERS.md): points are
+// bucketed into a coarse grid with tight per-cell bounding boxes; a cell whose
+// bbox min-distance to the new center is >= the cell's current max min-distance
+// cannot change, so it is neither swept nor rescanned — its cached (max, argmax)
+// keeps representing it in the global argmax.
+void ampnet_fps_grid(const float* pts, int32_t n, int32_t d, int32_t m,
+                     int32_t* out) {
+  const int dd = d < 3 ? d : 3;
+  // bounding box
+  float lo[3] = {0, 0, 0}, hi[3] = {0, 0, 0};
+  for (int t = 0; t < dd; ++t) { lo[t] = hi[t] = pts[t]; }
+  for (int64_t j = 1; j < n; ++j)
+    for (int t = 0; t < dd; ++t) {
+      const float v = pts[j * d + t];
+      if (v < lo[t]) lo[t] = v;
+      if (v > hi[t]) hi[t] = v;
+    }
+  // per-axis resolution ~ cbrt(n/32), capped — fine enough to prune, coarse
+  // enough that the per-iteration cell scan stays cheap
+  int r = 1;
+  while (static_cast<int64_t>(r + 1) * (r + 1) * (r + 1) * 32 <= n && r < 48) ++r;
+  int res[3] = {1, 1, 1};
+  float inv[3] = {0, 0, 0};
+  for (int t = 0; t < dd; ++t) {
+    res[t] = (hi[t] > lo[t]) ? r : 1;
+    inv[t] = (hi[t] > lo[t]) ? res[t] / (hi[t] - lo[t]) : 0.f;
+  }
+  const int n_cells = res[0] * res[1] * res[2];
+
+  auto cell_of = [&](const float* q) {
+    int c = 0;
+    for (int t = 0; t < dd; ++t) {
+      int ix = static_cast<int>((q[t] - lo[t]) * inv[t]);
+      if (ix >= res[t]) ix = res[t] - 1;
+      if (ix < 0) ix = 0;
+      c = c * res[t] + ix;
+    }
+    return c;
+  };
+
+  // CSR bucketing in ascending point order (keeps in-cell index order for ties)
+  std::vector<int32_t> count(n_cells, 0), offs(n_cells + 1, 0), order(n);
+  for (int64_t j = 0; j < n; ++j) count[cell_of(pts + j * d)]++;
+  for (int c = 0; c < n_cells; ++c) offs[c + 1] = offs[c] + count[c];
+  {
+    std::vector<int32_t> cur(offs.begin(), offs.end() - 1);
+    for (int64_t j = 0; j < n; ++j) order[cur[cell_of(pts + j * d)]++] = j;
+  }
+  // tight per-cell bboxes
+  std::vector<float> blo(static_cast<size_t>(n_cells) * 3),
+      bhi(static_cast<size_t>(n_cells) * 3);
+  for (int c = 0; c < n_cells; ++c) {
+    if (offs[c] == offs[c + 1]) continue;
+    for (int t = 0; t < 3; ++t) {
+      blo[c * 3 + t] = std::numeric_limits<float>::infinity();
+      bhi[c * 3 + t] = -std::numeric_limits<float>::infinity();
+    }
+    for (int32_t s = offs[c]; s < offs[c + 1]; ++s) {
+      const float* q = pts + static_cast<int64_t>(order[s]) * d;
+      for (int t = 0; t < dd; ++t) {
+        blo[c * 3 + t] = std::min(blo[c * 3 + t], q[t]);
+        bhi[c * 3 + t] = std::max(bhi[c * 3 + t], q[t]);
+      }
+    }
+  }
+
+  const float inf = std::numeric_limits<float>::infinity();
+  std::vector<float> dist(n, inf);
+  std::vector<float> cmax(n_cells, inf);
+  std::vector<int32_t> carg(n_cells, -1);
+  // initial per-cell argmax: smallest index (all dists inf)
+  for (int c = 0; c < n_cells; ++c)
+    if (offs[c] < offs[c + 1]) carg[c] = order[offs[c]];
+
+  auto sweep_cell = [&](int c, const float* p) {
+    // update dists in cell against center p (p = nullptr: rescan only),
+    // recompute (cmax, carg) with smallest-index tie-breaking
+    float best = -inf;
+    int32_t arg = -1;
+    for (int32_t s = offs[c]; s < offs[c + 1]; ++s) {
+      const int64_t j = order[s];
+      if (p) {
+        const float* q = pts + j * d;
+        float acc = 0.f;
+        for (int t = 0; t < dd; ++t) {
+          const float diff = p[t] - q[t];
+          acc += diff * diff;
+        }
+        if (acc < dist[j]) dist[j] = acc;
+      }
+      if (dist[j] > best) { best = dist[j]; arg = static_cast<int32_t>(j); }
+    }
+    cmax[c] = best;
+    carg[c] = arg;
+  };
+
+  int32_t last = 0;
+  out[0] = 0;  // dist[0] becomes 0 on the first sweep, exactly like ampnet_fps
+  for (int i = 1; i < m; ++i) {
+    const float* p = pts + static_cast<int64_t>(last) * d;
+    for (int c = 0; c < n_cells; ++c) {
+      if (offs[c] == offs[c + 1]) continue;
+      float bd = 0.f;  // min squared distance from p to the cell's tight bbox
+      for (int t = 0; t < dd; ++t) {
+        const float v = p[t];
+        const float g = v < blo[c * 3 + t] ? blo[c * 3 + t] - v
+                        : v > bhi[c * 3 + t] ? v - bhi[c * 3 + t]
+                                             : 0.f;
+        bd += g * g;
+      }
+      if (bd < cmax[c]) sweep_cell(c, p);
+    }
+    // global argmax over cell caches, smallest point index on ties
+    float best = -inf;
+    int32_t arg = 0;
+    for (int c = 0; c < n_cells; ++c) {
+      if (carg[c] < 0) continue;
+      if (cmax[c] > best || (cmax[c] == best && carg[c] < arg)) {
+        best = cmax[c];
+        arg = carg[c];
+      }
+    }
+    out[i] = arg;
+    last = arg;
+    dist[arg] = -1.f;
+    sweep_cell(cell_of(pts + static_cast<int64_t>(arg) * d), nullptr);
+  }
+}
+
 }  // extern "C"

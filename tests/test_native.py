@@ -75,3 +75,40 @@ def test_tiling_exact_mcf_assigner(rng):
     pc = rng.random((1000, 13)).astype(np.float32)
     out = kmeans_tile_cloud(pc, n_points=256, assigner="exact_mcf")
     assert out.shape == (256, 13, 4)
+
+
+def test_fps_grid_bit_exact_and_large():
+    """Grid-pruned FPS (ampnet_fps_grid) must match the naive scan bit-exactly —
+    including tie-breaking — on uniform and clustered clouds, small and large."""
+    from ampnet_tpu.native import fps_native, native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    clouds = [
+        rng.normal(size=(500, 9)).astype(np.float32),
+        rng.normal(size=(20000, 3)).astype(np.float32),
+        np.concatenate(
+            [rng.normal(size=(1000, 3)) + c for c in rng.normal(size=(20, 3)) * 10]
+        ).astype(np.float32),
+    ]
+    for pts in clouds:
+        m = min(512, len(pts) // 4)
+        np.testing.assert_array_equal(
+            fps_native(pts, m, method="naive"), fps_native(pts, m, method="grid")
+        )
+
+
+def test_fps_degenerate_extents():
+    """All points on a line/plane (zero extent on some axes) must not crash the
+    grid bucketing."""
+    from ampnet_tpu.native import fps_native, native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(4)
+    pts = np.zeros((1000, 3), np.float32)
+    pts[:, 0] = rng.normal(size=1000)  # 1-D line
+    np.testing.assert_array_equal(
+        fps_native(pts, 64, method="naive"), fps_native(pts, 64, method="grid")
+    )

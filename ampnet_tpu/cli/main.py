@@ -196,6 +196,13 @@ def cmd_train(args) -> int:
 
     windowed = args.arch in ("attention", "gru")
     mk_kw = dict(task=args.task)
+    if windowed and getattr(args, "reference_noise_compat", False):
+        # reproduce the reference's training-data bug: class 14 (power lines)
+        # dropped from TRAINING while still evaluated at test time
+        # (datasets.py:339-350; data/schema.py documents the account)
+        from ampnet_tpu.data.schema import REFERENCE_NOISE_CLASSES
+
+        mk_kw["noise_classes"] = REFERENCE_NOISE_CLASSES
     if windowed:
         train_ds = WindowedCloudDataset(args.dataset_path, lists["train"], **mk_kw)
         val_ds = WindowedCloudDataset(args.dataset_path, lists["val"], **mk_kw) if lists["val"] else None
@@ -509,6 +516,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="compute dtype (params stay fp32); bfloat16 measured "
                         "+57%% train throughput on one v5e")
+    s.add_argument("--reference_noise_compat", action="store_true",
+                   help="reproduce the reference's training-data bug (drop class "
+                        "14/power lines from TRAINING data, datasets.py:339-350) "
+                        "for apples-to-apples parity runs")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")

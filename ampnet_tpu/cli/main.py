@@ -273,7 +273,14 @@ def _restore_model(args, task: str):
                   file=sys.stderr)
             return None
         variables, meta = import_reference_checkpoint(args.model_checkpoint)
+        # honor the hyperparameters the reference tester reads out of the
+        # checkpoint (test_pointnet_att_segmen.py:87-94) — tiling at the wrong
+        # n_points would evaluate the model on windows it never trained on
+        from ampnet_tpu.core.config import DataConfig
+
         cfg = AMPNetConfig()
+        if meta.get("number_of_points"):
+            cfg = cfg.replace(data=DataConfig(n_points=int(meta["number_of_points"])))
         model = build_model(cfg, "attention", "segmentation")
 
         class _VarState:  # minimal state shim for the shared downstream code

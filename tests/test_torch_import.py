@@ -156,3 +156,30 @@ def test_import_reproduces_reference_forward(rng):
         variables, jnp.asarray(pts), jnp.asarray(cent), None, train=False
     )
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)
+
+
+def test_restore_honors_checkpoint_n_points(tmp_path, rng):
+    """The .pth restore path must tile at the checkpoint's number_of_points —
+    evaluating a 256-point-trained model with 2048-point tiling is the round-2
+    parity-protocol bug this guards against (test_pointnet_att_segmen.py:87-94
+    reads hyperparameters out of the checkpoint)."""
+    import argparse
+
+    from ampnet_tpu.cli.main import _restore_model
+
+    base, head = RefBase(), RefAttHead()
+    randomize(base, rng)
+    randomize(head, rng)
+    ckpt = {
+        "base_pointnet": base.state_dict(),
+        "segmen_net": head.state_dict(),
+        "number_of_points": 256,
+        "batch_size": 8,
+        "lr": 1e-3,
+        "epoch": 1,
+    }
+    p = str(tmp_path / "model_test.pth")
+    torch.save(ckpt, p)
+    args = argparse.Namespace(model_checkpoint=p, arch="attention")
+    cfg, model, state, name = _restore_model(args, "segmentation")
+    assert cfg.data.n_points == 256

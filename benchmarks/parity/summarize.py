@@ -17,7 +17,8 @@ def load(path):
         txt = f.read()
     # ampnet test prints one JSON object (possibly after log lines)
     start = txt.find("{")
-    return json.loads(txt[start:])["summary"]
+    obj = json.loads(txt[start:])
+    return obj.get("summary", obj)
 
 
 def main(argv):

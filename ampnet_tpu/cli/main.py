@@ -268,20 +268,31 @@ def _restore_model(args, task: str):
         # reference torch checkpoint: import directly (core/torch_import.py)
         from ampnet_tpu.core.torch_import import import_reference_checkpoint
 
-        if task != "segmentation" or args.arch != "attention":
-            print("torch checkpoint import supports the attention segmenter",
+        if task != "segmentation" or args.arch not in ("attention", "gru"):
+            print("torch checkpoint import supports the attention/gru segmenters",
                   file=sys.stderr)
             return None
         variables, meta = import_reference_checkpoint(args.model_checkpoint)
+        if meta.get("arch") and meta["arch"] != args.arch:
+            print(f"checkpoint is a {meta['arch']} model; using --arch {meta['arch']}",
+                  file=sys.stderr)
         # honor the hyperparameters the reference tester reads out of the
         # checkpoint (test_pointnet_att_segmen.py:87-94) — tiling at the wrong
-        # n_points would evaluate the model on windows it never trained on
-        from ampnet_tpu.core.config import DataConfig
+        # n_points would evaluate the model on windows it never trained on —
+        # and the model geometry inferred from the weights (the GRU trainer
+        # uses point_dimension=2, train_pointnetGRU.py:121)
+        from ampnet_tpu.core.config import DataConfig, ModelConfig
 
-        cfg = AMPNetConfig()
+        arch = meta.get("arch", "attention")
+        cfg = AMPNetConfig(model=ModelConfig(
+            context=arch,
+            point_dim=meta.get("point_dim", 3),
+            global_feat=meta.get("global_feat", 256),
+            gru_hidden=meta.get("gru_hidden", 64),
+        ))
         if meta.get("number_of_points"):
             cfg = cfg.replace(data=DataConfig(n_points=int(meta["number_of_points"])))
-        model = build_model(cfg, "attention", "segmentation")
+        model = build_model(cfg, arch, "segmentation")
 
         class _VarState:  # minimal state shim for the shared downstream code
             params = variables["params"]

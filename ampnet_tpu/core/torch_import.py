@@ -92,6 +92,27 @@ def convert_base_pointnet(sd: Dict) -> Tuple[Dict, Dict]:
     return p, s
 
 
+def _seg_head(sd: Dict) -> Tuple[Dict, Dict]:
+    """Shared per-point head convs (conv_2/3/4 + bn_2/3 — identical layout in
+    SegmentationWithAttention pointnetAtt.py:167-174 and SegmentationWithGRU
+    :221-228) → our SegmentationHead tree."""
+    head_p, head_s = {}, {}
+    for ours, conv, bn in (("dense_1", "conv_2", "bn_2"), ("dense_2", "conv_3", "bn_3")):
+        head_p[ours] = {
+            "kernel": _conv(sd[f"{conv}.weight"]),
+            "bias": np.asarray(sd[f"{conv}.bias"], np.float32),
+        }
+        bnp, bns = _bn(sd, bn)
+        tag = "bn_1" if ours == "dense_1" else "bn_2"
+        head_p[tag] = bnp
+        head_s[tag] = bns
+    head_p["dense_out"] = {
+        "kernel": _conv(sd["conv_4.weight"]),
+        "bias": np.asarray(sd["conv_4.bias"], np.float32),
+    }
+    return head_p, head_s
+
+
 def convert_attention_head(sd: Dict) -> Tuple[Dict, Dict]:
     """Reference SegmentationWithAttention (pointnetAtt.py:154-209) →
     our context + head trees."""
@@ -117,35 +138,72 @@ def convert_attention_head(sd: Dict) -> Tuple[Dict, Dict]:
             },
         },
     }
-    head_p, head_s = {}, {}
-    for ours, conv, bn in (("dense_1", "conv_2", "bn_2"), ("dense_2", "conv_3", "bn_3")):
-        head_p[ours] = {
-            "kernel": _conv(sd[f"{conv}.weight"]),
-            "bias": np.asarray(sd[f"{conv}.bias"], np.float32),
-        }
-        bnp, bns = _bn(sd, bn)
-        tag = "bn_1" if ours == "dense_1" else "bn_2"
-        head_p[tag] = bnp
-        head_s[tag] = bns
-    head_p["dense_out"] = {
-        "kernel": _conv(sd["conv_4.weight"]),
-        "bias": np.asarray(sd["conv_4.bias"], np.float32),
-    }
+    head_p, head_s = _seg_head(sd)
     return {"context": ctx_p, "head": head_p}, {"head": head_s}
 
 
+def convert_gru_head(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference SegmentationWithGRU (pointnetAtt.py:212-258) → our GRUContext +
+    SegmentationHead trees.
+
+    torch ``nn.GRU`` packs gates row-wise in (r, z, n) order; flax ``GRUCell``
+    names them ir/iz/in (input side, biased) and hr/hz/hn (hidden side, bias only
+    on hn). Both compute ``n = tanh(W_in x + b_in + r*(W_hn h + b_hn))``, and for
+    r/z torch's two biases sum into flax's single input-side bias.
+    """
+    wih = np.asarray(sd["gru_global.weight_ih_l0"], np.float32)  # [3H, E]
+    whh = np.asarray(sd["gru_global.weight_hh_l0"], np.float32)  # [3H, H]
+    bih = np.asarray(sd["gru_global.bias_ih_l0"], np.float32)
+    bhh = np.asarray(sd["gru_global.bias_hh_l0"], np.float32)
+    h = whh.shape[1]
+
+    def chunk(a, i):
+        return a[i * h : (i + 1) * h]
+
+    gru = {
+        "ir": {"kernel": _t(chunk(wih, 0)), "bias": chunk(bih, 0) + chunk(bhh, 0)},
+        "iz": {"kernel": _t(chunk(wih, 1)), "bias": chunk(bih, 1) + chunk(bhh, 1)},
+        "in": {"kernel": _t(chunk(wih, 2)), "bias": chunk(bih, 2)},
+        "hr": {"kernel": _t(chunk(whh, 0))},
+        "hz": {"kernel": _t(chunk(whh, 1))},
+        "hn": {"kernel": _t(chunk(whh, 2)), "bias": chunk(bhh, 2)},
+    }
+    head_p, head_s = _seg_head(sd)
+    return {"context": {"gru": gru}, "head": head_p}, {"head": head_s}
+
+
 def import_reference_checkpoint(path: str) -> Tuple[Dict, Dict]:
-    """Load a reference ``model_*.pth`` → (variables for AMPNetSegmenter, meta)."""
+    """Load a reference ``model_*.pth`` → (variables for AMPNetSegmenter, meta).
+
+    Detects the context family from the head state dict: MultiheadAttention keys
+    → attention (SegmentationWithAttention), gru_global keys → gru
+    (SegmentationWithGRU). ``meta['arch']`` reports which."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     to_np = lambda sd: {k: v.detach().cpu().numpy() for k, v in sd.items()}
     enc_p, enc_s = convert_base_pointnet(to_np(ckpt["base_pointnet"]))
-    rest_p, rest_s = convert_attention_head(to_np(ckpt["segmen_net"]))
+    head_sd = to_np(ckpt["segmen_net"])
+    if "gru_global.weight_ih_l0" in head_sd:
+        rest_p, rest_s = convert_gru_head(head_sd)
+        arch = "gru"
+    else:
+        rest_p, rest_s = convert_attention_head(head_sd)
+        arch = "attention"
     variables = {
         "params": {"encoder": enc_p, **rest_p},
         "batch_stats": {"encoder": enc_s, **rest_s},
     }
     meta = {k: v for k, v in ckpt.items() if not k.endswith(("pointnet", "net"))
             and not isinstance(v, dict)}
+    meta["arch"] = arch
+    # model geometry lives only in the weights: the GRU trainer builds the
+    # encoder with point_dimension=2 (LidarKmeansDataset.POINT_DIMENSION,
+    # train_pointnetGRU.py:121) while the attention trainer uses 3
+    base_sd = to_np(ckpt["base_pointnet"])
+    d2 = base_sd["input_transform.fc_3.bias"].shape[0]
+    meta["point_dim"] = int(round(d2 ** 0.5))
+    meta["global_feat"] = int(base_sd["conv_6.weight"].shape[0])
+    if arch == "gru":
+        meta["gru_hidden"] = int(head_sd["gru_global.weight_hh_l0"].shape[1])
     return variables, meta

@@ -92,11 +92,18 @@ def install_shims() -> None:
     cc.track_emissions = lambda *a, **k: (lambda f: f)
     sys.modules.setdefault("codecarbon", cc)
 
+    ts = _module("torchsummary")  # imported (unused) by the GRU trainer
+    ts.summary = lambda *a, **k: None
+    sys.modules.setdefault("torchsummary", ts)
 
-def load_train_module():
-    path = os.path.join(REFERENCE, "pointNet", "self-attention",
-                        "train_pointnet-attention.py")
-    spec = importlib.util.spec_from_file_location("ref_train_att", path)
+
+def load_train_module(family: str = "attention"):
+    rel = {
+        "attention": ("self-attention", "train_pointnet-attention.py"),
+        "gru": ("rnn", "train_pointnetGRU.py"),
+    }[family]
+    path = os.path.join(REFERENCE, "pointNet", *rel)
+    spec = importlib.util.spec_from_file_location("ref_train_mod", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -110,6 +117,8 @@ def main() -> int:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--n_points", type=int, default=256)
     ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--family", choices=["attention", "gru"], default="attention")
+    ap.add_argument("--n_windows", type=int, default=5)
     args = ap.parse_args()
 
     os.environ.setdefault("MPLBACKEND", "Agg")
@@ -129,7 +138,7 @@ def main() -> int:
     torch.set_num_threads(1)  # 1-core host; matches the recorded CPU baseline
     torch.manual_seed(0)
 
-    mod = load_train_module()
+    mod = load_train_module(args.family)
 
     # The reference classes default device='cuda' (pointnetAtt.py:155) and the
     # train script doesn't pass device= for the attention nets — on a CPU host
@@ -144,7 +153,7 @@ def main() -> int:
                 "cpu" if d == "cuda" else d for d in defaults
             )
 
-    mod.train_att(
+    common = dict(
         task="segmentation",
         dataset_folder=data_dir,
         path_list_files=data_dir,
@@ -158,6 +167,10 @@ def main() -> int:
         number_of_workers=0,
         model_checkpoint=None,
     )
+    if args.family == "attention":
+        mod.train_att(**common)
+    else:
+        mod.train_gru(n_windows=args.n_windows, **common)
     print("reference training done; checkpoints in",
           os.path.join(out_dir, "pointNet/checkpoints"))
     return 0

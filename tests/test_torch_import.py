@@ -183,3 +183,71 @@ def test_restore_honors_checkpoint_n_points(tmp_path, rng):
     args = argparse.Namespace(model_checkpoint=p, arch="attention")
     cfg, model, state, name = _restore_model(args, "segmentation")
     assert cfg.data.n_points == 256
+
+
+class RefGRUHead(tnn.Module):
+    """Reference SegmentationWithGRU key layout (pointnetAtt.py:212-258)."""
+
+    def __init__(self, e=256, h=64, k=5, local=64):
+        super().__init__()
+        self.h = h
+        self.gru_global = tnn.GRU(e, h, batch_first=True, bidirectional=False)
+        self.conv_2 = tnn.Conv1d(local + h, 128, 1)
+        self.conv_3 = tnn.Conv1d(128, 64, 1)
+        self.conv_4 = tnn.Conv1d(64, k, 1)
+        self.bn_2 = tnn.BatchNorm1d(128)
+        self.bn_3 = tnn.BatchNorm1d(64)
+
+    def forward(self, global_seq, local_feats, np_cluster):
+        hidden = torch.zeros(1, global_seq.shape[0], self.h)
+        out_h, _ = self.gru_global(global_seq, hidden)  # [B, W, h]
+        reps = [out_h[:, i, :].unsqueeze(1).repeat(1, np_cluster[i], 1)
+                for i in range(out_h.shape[1])]
+        glob = torch.cat(reps, dim=1)
+        x = torch.cat([local_feats, glob], dim=2).transpose(2, 1)
+        x = tF.relu(self.bn_2(self.conv_2(x)))
+        x = tF.relu(self.bn_3(self.conv_3(x)))
+        return self.conv_4(x)
+
+
+def test_gru_import_reproduces_reference_forward(rng):
+    """SegmentationWithGRU checkpoints must import with numerical forward parity —
+    torch nn.GRU (r,z,n row-packed gates) -> flax nn.GRUCell (ir/iz/in + hr/hz/hn)."""
+    from ampnet_tpu.core.torch_import import convert_gru_head
+
+    B, W, N = 2, 3, 64
+    base, head = RefBase(), RefGRUHead()
+    randomize(base, rng)
+    randomize(head, rng)
+    base.eval()
+    head.eval()
+
+    pts = rng.normal(size=(B, W, N, 9)).astype(np.float32)
+    cent = rng.normal(size=(B, W, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        locals_, tokens = [], []
+        for w in range(W):
+            lo, gl, _ = base(torch.from_numpy(pts[:, w]))
+            locals_.append(lo)
+            tokens.append(gl.unsqueeze(1))
+        lo = torch.cat(locals_, dim=1)
+        tok = torch.cat(tokens, dim=1)  # [B, W, 256] batch-first
+        ref_logits = head(tok, lo, [N] * W)
+    ref = ref_logits.numpy().transpose(0, 2, 1).reshape(B, W, N, -1)
+
+    enc_p, enc_s = convert_base_pointnet(
+        {k: v.numpy() for k, v in base.state_dict().items()}
+    )
+    rest_p, rest_s = convert_gru_head(
+        {k: v.numpy() for k, v in head.state_dict().items()}
+    )
+    variables = {
+        "params": {"encoder": enc_p, **rest_p},
+        "batch_stats": {"encoder": enc_s, **rest_s},
+    }
+    model = AMPNetSegmenter(ModelConfig(dropout=0.0, context="gru"))
+    logits, _, _ = model.apply(
+        variables, jnp.asarray(pts), jnp.asarray(cent), None, train=False
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)

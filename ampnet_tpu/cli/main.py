@@ -357,7 +357,7 @@ def cmd_test(args) -> int:
         print("fused/int8 backends support the attention segmenter only", file=sys.stderr)
         return 1
     inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters,
-                                 backend=backend)
+                                 backend=backend, tiler=getattr(args, "tiler", "balanced"))
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
@@ -553,6 +553,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save pred-vs-GT 3D scatter PNGs for the first clouds")
     s.add_argument("--backend", choices=["xla", "fused", "int8"], default="xla",
                    help="inference backend (fused/int8 = Pallas kernels)")
+    s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced",
+                   help="'fast' = plain-Lloyd + one balanced solve (~4x cheaper "
+                        "tiling, -0.4 mIoU measured)")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "

@@ -45,12 +45,20 @@ class TiledInferencer:
         n_points: Optional[int] = None,
         max_clusters: Optional[int] = None,
         backend: str = "xla",
+        tiler: str = "balanced",
     ):
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.n_points = n_points or cfg.data.n_points
         self.max_clusters = max_clusters or cfg.data.max_clusters_test
+        # 'balanced' = Sinkhorn rebalancing inside every Lloyd iteration (closest
+        # to the reference's KMeansConstrained); 'fast' = plain Lloyd + one final
+        # balanced solve — ~4x cheaper tiling, measured −0.4 mIoU on the parity
+        # test set (docs/design.md)
+        if tiler not in ("balanced", "fast"):
+            raise ValueError(f"unknown tiler {tiler!r}")
+        self.tiler = tiler
         self._fns: Dict[tuple, callable] = {}
         from ampnet_tpu.models.backends import make_forward
 
@@ -85,7 +93,8 @@ class TiledInferencer:
             if k > 1:
                 feats = points[:, KMEANS_FEATURE_IDX]
                 assign, _ = balanced_kmeans(
-                    feats, k, key, capacities=(cap,) * k, exact=True
+                    feats, k, key, capacities=(cap,) * k, exact=True,
+                    lloyd_mode="argmin" if self.tiler == "fast" else "sinkhorn",
                 )
                 return jnp.argsort(assign, stable=True)
             return jnp.arange(n)

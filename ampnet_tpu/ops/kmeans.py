@@ -101,7 +101,9 @@ def round_balanced(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "capacities", "lloyd_iters", "sinkhorn_iters", "exact"),
+    static_argnames=(
+        "k", "capacities", "lloyd_iters", "sinkhorn_iters", "exact", "lloyd_mode"
+    ),
 )
 def balanced_kmeans(
     feats: jnp.ndarray,  # [N, F] clustering features (e.g. x, y, NDVI)
@@ -112,6 +114,7 @@ def balanced_kmeans(
     sinkhorn_iters: int = 30,
     exact: bool = True,
     point_mask: Optional[jnp.ndarray] = None,
+    lloyd_mode: str = "sinkhorn",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (assignment [N] int32, centroids [k, F]).
 
@@ -119,6 +122,13 @@ def balanced_kmeans(
     3_kmeans.py semantics). With ``exact=False`` the assignment is the argmax of the
     balanced plan — sizes are approximately the capacities (test tiling, which only
     enforces a minimum size; utils.py:500-505).
+
+    ``lloyd_mode``: 'sinkhorn' runs a balanced OT assignment INSIDE every Lloyd
+    iteration (closest to KMeansConstrained, which rebalances every step);
+    'argmin' refines centroids with plain nearest-centroid Lloyd steps and solves
+    balance ONCE at the end (one annealed Sinkhorn + rounding). Measured on one
+    v5e at [65536, k=32]: 48.6 ms vs 12 ms for the same downstream mIoU — the
+    per-iteration Sinkhorn was 94 % of the tiler's cost (docs/design.md).
     """
     n = feats.shape[0]
     feats = feats.astype(jnp.float32)
@@ -133,22 +143,45 @@ def balanced_kmeans(
 
     tau0, tau1 = 1.0, 0.05  # annealed entropic temperature (relative to cost scale)
 
-    def lloyd(i, carry):
-        centroids, _ = carry
+    if lloyd_mode == "argmin":
+        big = jnp.asarray(jnp.inf, jnp.float32)
+
+        def lloyd_plain(_, centroids):
+            cost = _sqdist(feats, centroids)
+            if point_mask is not None:
+                cost = jnp.where(point_mask[:, None], cost, big)
+            a = jnp.argmin(cost, axis=1)
+            onehot = jax.nn.one_hot(a, k, dtype=jnp.float32)
+            if point_mask is not None:
+                onehot = onehot * point_mask[:, None].astype(jnp.float32)
+            sums = onehot.T @ feats  # [k, F] — one MXU matmul
+            counts = onehot.sum(axis=0)[:, None]
+            # empty clusters keep their previous centroid
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centroids)
+
+        centroids = jax.lax.fori_loop(0, lloyd_iters, lloyd_plain, centroids)
         cost = _sqdist(feats, centroids)
         scale = jnp.maximum(jnp.mean(cost), 1e-12)
-        frac = i / jnp.maximum(lloyd_iters - 1, 1)
-        tau = scale * (tau0 * (tau1 / tau0) ** frac)
-        plan = sinkhorn_plan(cost, cap_arr, tau, sinkhorn_iters, point_mask)
-        # capacity-weighted centroid update (plan columns sum to capacities)
+        plan = sinkhorn_plan(cost, cap_arr, scale * tau1, sinkhorn_iters, point_mask)
         w = plan / jnp.maximum(plan.sum(axis=0, keepdims=True), 1e-30)
         centroids = w.T @ feats
-        return centroids, plan
+    else:
+        def lloyd(i, carry):
+            centroids, _ = carry
+            cost = _sqdist(feats, centroids)
+            scale = jnp.maximum(jnp.mean(cost), 1e-12)
+            frac = i / jnp.maximum(lloyd_iters - 1, 1)
+            tau = scale * (tau0 * (tau1 / tau0) ** frac)
+            plan = sinkhorn_plan(cost, cap_arr, tau, sinkhorn_iters, point_mask)
+            # capacity-weighted centroid update (plan columns sum to capacities)
+            w = plan / jnp.maximum(plan.sum(axis=0, keepdims=True), 1e-30)
+            centroids = w.T @ feats
+            return centroids, plan
 
-    dummy_plan = jnp.zeros((n, k), jnp.float32)
-    centroids, plan = jax.lax.fori_loop(
-        0, lloyd_iters, lloyd, (centroids, dummy_plan)
-    )
+        dummy_plan = jnp.zeros((n, k), jnp.float32)
+        centroids, plan = jax.lax.fori_loop(
+            0, lloyd_iters, lloyd, (centroids, dummy_plan)
+        )
 
     if exact:
         assign = round_balanced(plan, capacities, point_mask)

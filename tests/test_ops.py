@@ -191,3 +191,28 @@ def test_num_tiles():
     assert num_tiles_test(4095, 2048) == 1  # < 2*n_points
     assert num_tiles_test(4096, 2048) == 2
     assert num_tiles_test(2048 * 30, 2048) == 18  # capped
+
+
+def test_balanced_kmeans_argmin_mode_exact_sizes():
+    """lloyd_mode='argmin' (plain Lloyd + one final balanced solve) must still
+    produce exactly-capacity clusters and sane geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from ampnet_tpu.ops.kmeans import balanced_kmeans, cluster_sizes
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    k, cap = 4, 128
+    a, cent = balanced_kmeans(feats, k, jax.random.PRNGKey(1),
+                              capacities=(cap,) * k, exact=True,
+                              lloyd_mode="argmin")
+    sizes = np.asarray(cluster_sizes(a, k))
+    np.testing.assert_array_equal(sizes, [cap] * k)
+    # SSE should be within 2x of the sinkhorn-mode solution on this easy data
+    a2, cent2 = balanced_kmeans(feats, k, jax.random.PRNGKey(1),
+                                capacities=(cap,) * k, exact=True)
+    f = np.asarray(feats)
+    sse = ((f - np.asarray(cent)[np.asarray(a)]) ** 2).sum()
+    sse2 = ((f - np.asarray(cent2)[np.asarray(a2)]) ** 2).sum()
+    assert sse < 2.0 * sse2, (sse, sse2)

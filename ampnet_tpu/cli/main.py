@@ -353,7 +353,7 @@ def cmd_test(args) -> int:
     ds = EvalCloudDataset(args.dataset_path, files)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     backend = getattr(args, "backend", "xla")
-    if backend != "xla" and args.arch != "attention":
+    if backend != "xla" and cfg.model.context != "attention":
         print("fused/int8 backends support the attention segmenter only", file=sys.stderr)
         return 1
     inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters,

@@ -182,7 +182,8 @@ def import_reference_checkpoint(path: str) -> Tuple[Dict, Dict]:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     to_np = lambda sd: {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    enc_p, enc_s = convert_base_pointnet(to_np(ckpt["base_pointnet"]))
+    base_sd = to_np(ckpt["base_pointnet"])
+    enc_p, enc_s = convert_base_pointnet(base_sd)
     head_sd = to_np(ckpt["segmen_net"])
     if "gru_global.weight_ih_l0" in head_sd:
         rest_p, rest_s = convert_gru_head(head_sd)
@@ -200,7 +201,6 @@ def import_reference_checkpoint(path: str) -> Tuple[Dict, Dict]:
     # model geometry lives only in the weights: the GRU trainer builds the
     # encoder with point_dimension=2 (LidarKmeansDataset.POINT_DIMENSION,
     # train_pointnetGRU.py:121) while the attention trainer uses 3
-    base_sd = to_np(ckpt["base_pointnet"])
     d2 = base_sd["input_transform.fc_3.bias"].shape[0]
     meta["point_dim"] = int(round(d2 ** 0.5))
     meta["global_feat"] = int(base_sd["conv_6.weight"].shape[0])

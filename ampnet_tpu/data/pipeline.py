@@ -262,16 +262,18 @@ class HostShardedBatcher(PaddedBatcher):
                 f"global_batch_size {global_batch_size} not divisible by "
                 f"host_count {host_count}"
             )
+        if kw.get("drop_last") is False:
+            # a partial global batch cannot be split evenly across hosts, and
+            # jax.make_array_from_process_local_data requires equal per-host
+            # contributions — pad the dataset (pad_to_multiple) instead
+            raise ValueError("HostShardedBatcher requires drop_last=True")
         self.host_id = host_id
         self.host_count = host_count
         self.global_batch_size = global_batch_size
         super().__init__(dataset, batch_size=global_batch_size // host_count, **kw)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.global_batch_size
-        return (n + self.global_batch_size - 1) // self.global_batch_size
+        return len(self.dataset) // self.global_batch_size
 
     def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
         # identical global permutation on every host (same seed+epoch), then an

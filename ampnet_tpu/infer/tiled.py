@@ -46,6 +46,7 @@ class TiledInferencer:
         max_clusters: Optional[int] = None,
         backend: str = "xla",
         tiler: str = "balanced",
+        max_points_per_call: int = 2_000_000,
     ):
         self.model = model
         self.variables = variables
@@ -59,6 +60,12 @@ class TiledInferencer:
         if tiler not in ("balanced", "fast"):
             raise ValueError(f"unknown tiler {tiler!r}")
         self.tiler = tiler
+        # clouds beyond this size are spatially halved and predicted per half
+        # (windows are independent beyond the per-piece attention context —
+        # the same independence the reference's upstream tile/window splitting
+        # relies on); keeps any single device program within HBM (1M points
+        # measured at 2.8 s on one v5e, docs/design.md)
+        self.max_points_per_call = max_points_per_call
         self._fns: Dict[tuple, callable] = {}
         from ampnet_tpu.models.backends import make_forward
 
@@ -119,6 +126,16 @@ class TiledInferencer:
     def predict(self, points9: np.ndarray, seed: int = 0) -> np.ndarray:
         """Per-point class predictions for one [N, 9] cloud of any size."""
         n = points9.shape[0]
+        if n > self.max_points_per_call:
+            # balanced spatial halving along the wider of x/y (argsort split —
+            # never degenerate), recursing until each piece fits one program
+            axis = int(np.ptp(points9[:, 1]) > np.ptp(points9[:, 0]))
+            order = np.argsort(points9[:, axis], kind="stable")
+            half = n // 2
+            out = np.empty((n,), np.int32)
+            out[order[:half]] = self.predict(points9[order[:half]], seed)
+            out[order[half:]] = self.predict(points9[order[half:]], seed + 1)
+            return out
         k = num_tiles_test(n, self.n_points, self.max_clusters)
         cap = self._cap_for(n, k)
         rng = np.random.default_rng(seed)
@@ -141,6 +158,9 @@ class TiledInferencer:
         prepped = {}
         for i, pc in enumerate(clouds):
             n = pc.shape[0]
+            if n > self.max_points_per_call:  # mega-clouds go down the
+                results[i] = self.predict(pc, seeds[i])  # spatial-halving path
+                continue
             k = num_tiles_test(n, self.n_points, self.max_clusters)
             cap = self._cap_for(n, k)
             rng = np.random.default_rng(seeds[i])

@@ -41,6 +41,27 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    # a stale .so built before a newer symbol was added must degrade to the
+    # NumPy fallbacks (return None), not crash every native entry point —
+    # try one rebuild first
+    try:
+        return _bind(lib)
+    except AttributeError:
+        if not _build_attempted:
+            _build_attempted = True
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR, "clean", "all"],
+                    check=True, capture_output=True, timeout=120,
+                )
+                return _bind(ctypes.CDLL(_LIB_PATH))
+            except Exception:
+                return None
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    global _lib
     lib.ampnet_balanced_assign.restype = ctypes.c_int
     lib.ampnet_balanced_assign.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,

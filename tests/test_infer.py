@@ -172,3 +172,35 @@ def test_predict_many_matches_single(inferencer):
         assert s.shape == b.shape
         # identical seeds → identical tiling & padding → identical predictions
         np.testing.assert_array_equal(s, b)
+
+
+def test_mega_cloud_spatial_halving(inferencer):
+    """Clouds beyond max_points_per_call split spatially and recurse — every
+    point still predicted, no single device program beyond the budget."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    feats, _ = make_cloud(rng, 3000)
+    small = TiledInferencer(
+        inferencer.model, inferencer.variables, inferencer.cfg,
+        max_clusters=6, max_points_per_call=1000,
+    )
+    preds = small.predict(feats, seed=0)
+    assert preds.shape == (3000,)
+    assert ((preds >= 0) & (preds < 5)).all()
+    # deterministic and consistent through predict_many's routing
+    batched = small.predict_many([feats], seeds=[0])[0]
+    np.testing.assert_array_equal(preds, batched)
+
+
+def test_host_sharded_batcher_rejects_drop_last_false():
+    from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drop_last"):
+        HostShardedBatcher(_DS(), 4, host_id=0, host_count=2, drop_last=False)

@@ -73,8 +73,9 @@ def test_step_count_and_lr_schedule(cfg, setup):
     model, state, batch = setup
     state = clone_state(state)
     train_step, _ = make_step_fns(cfg)
+    step_before = int(state.step)  # snapshot: train_step donates its input
     s1, _ = train_step(state, batch)
-    assert int(s1.step) == int(state.step) + 1
+    assert int(s1.step) == step_before + 1
 
 
 def test_gradients_flow_to_all_params(cfg, setup):

@@ -29,11 +29,16 @@ def cmd_synth(args) -> int:
 
     os.makedirs(args.out_path, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+    landscape_frac = getattr(args, "landscape_fraction", 0.0)
     for i in range(args.n_tiles):
         parts = []
         for _ in range(args.windows_per_tile):
+            # landscape windows (no towers/lines) give classification datasets
+            # genuine negatives, like the reference's 'pc_' windows
+            pylons = 0 if rng.uniform() < landscape_frac else 2
             parts.append(synthetic_scene(rng, n_points=args.points_per_window,
-                                         extent_m=args.window_size))
+                                         extent_m=args.window_size,
+                                         n_pylons=pylons))
         # place windows side by side in raw coordinates
         clouds = []
         for w, sc in enumerate(parts):
@@ -489,6 +494,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--points_per_window", type=int, default=8000)
     s.add_argument("--window_size", type=float, default=100.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--landscape_fraction", type=float, default=0.0,
+                   help="fraction of windows generated WITHOUT towers/power "
+                        "lines (negatives for classification)")
     s.set_defaults(fn=cmd_synth)
 
     s = sub.add_parser("preprocess", help="LAS tiles → windows → 13-col pkl + kmeans artifacts")

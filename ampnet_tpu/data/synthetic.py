@@ -51,6 +51,13 @@ def synthetic_scene(
     n_high = int(n_points * 0.25)
     n_tower = int(n_points * 0.08)
     n_lines = n_points - n_bg - n_low - n_high - n_tower
+    if n_pylons == 0:
+        # landscape scene (reference 'pc_' windows): no towers or lines — their
+        # point budget folds into vegetation so classification datasets get
+        # genuine negatives (LidarDataset.get_labels_cls semantics)
+        n_low += n_tower
+        n_high += n_lines
+        n_tower = n_lines = 0
 
     # background clutter near ground
     parts.append(

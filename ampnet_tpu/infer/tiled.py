@@ -47,6 +47,7 @@ class TiledInferencer:
         backend: str = "xla",
         tiler: str = "balanced",
         max_points_per_call: int = 2_000_000,
+        transfer_dtype: Optional[str] = None,
     ):
         self.model = model
         self.variables = variables
@@ -60,6 +61,11 @@ class TiledInferencer:
         if tiler not in ("balanced", "fast"):
             raise ValueError(f"unknown tiler {tiler!r}")
         self.tiler = tiler
+        # wire format for host->device cloud transfer: 'float16' halves the
+        # bytes (features are normalized, quantization noise ~1e-3); compute
+        # stays fp32 on device. Matters when serving is transfer-bound (this
+        # environment's relay moves ~26 MB/s — docs/design.md)
+        self.transfer_dtype = np.dtype(transfer_dtype or np.float32)
         # clouds beyond this size are spatially halved and predicted per half
         # (windows are independent beyond the per-piece attention context —
         # the same independence the reference's upstream tile/window splitting
@@ -108,7 +114,9 @@ class TiledInferencer:
 
         @jax.jit
         def run(variables, points: jnp.ndarray, keys: jax.Array):
-            # points: [B, k*cap, 9] (already replicate-padded on host)
+            # points: [B, k*cap, 9] (already replicate-padded on host; possibly
+            # a half-precision wire format — compute is fp32 from here)
+            points = points.astype(jnp.float32)
             b, n, f = points.shape
             order = jax.vmap(tile_one)(points, keys)  # [B, k*cap]
             gathered = jnp.take_along_axis(points, order[..., None], axis=1)
@@ -144,7 +152,7 @@ class TiledInferencer:
         run = self._bucket_fn(k, cap)
         flat, _ = run(
             self.variables,
-            jnp.asarray(padded, jnp.float32)[None],
+            jnp.asarray(padded.astype(self.transfer_dtype))[None],
             jax.random.PRNGKey(seed)[None],
         )
         return np.asarray(flat[0])[:n]
@@ -177,7 +185,7 @@ class TiledInferencer:
             b_pad = 1 << (b - 1).bit_length()
             if b_pad > b:
                 rows = np.concatenate([rows, np.repeat(rows[:1], b_pad - b, axis=0)])
-            batch = jnp.asarray(rows, jnp.float32)
+            batch = jnp.asarray(rows.astype(self.transfer_dtype))
             keys = jnp.stack(
                 [jax.random.PRNGKey(seeds[i]) for i in idxs]
                 + [jax.random.PRNGKey(0)] * (b_pad - b)

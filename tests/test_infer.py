@@ -204,3 +204,16 @@ def test_host_sharded_batcher_rejects_drop_last_false():
 
     with _pytest.raises(ValueError, match="drop_last"):
         HostShardedBatcher(_DS(), 4, host_id=0, host_count=2, drop_last=False)
+
+
+def test_float16_transfer_dtype_predictions_close(inferencer):
+    """transfer_dtype='float16' only changes the wire format (compute stays
+    fp32): predictions agree with the fp32 transfer on all but a sliver of
+    quantization-boundary points."""
+    rng = np.random.default_rng(11)
+    feats, _ = make_cloud(rng, 1200)
+    f16 = TiledInferencer(inferencer.model, inferencer.variables, inferencer.cfg,
+                          max_clusters=6, transfer_dtype="float16")
+    a = inferencer.predict(feats, seed=3)
+    b = f16.predict(feats, seed=3)
+    assert (a == b).mean() > 0.97, (a != b).mean()

@@ -36,6 +36,12 @@ from ampnet_tpu.ops.kmeans import balanced_kmeans, num_tiles_test
 KMEANS_FEATURE_IDX = (0, 1, 8)  # x, y, NDVI of the 9-feature layout
 
 
+def _replicate_variables(variables, mesh):
+    from ampnet_tpu.parallel.mesh import replicate_sharding
+
+    return jax.device_put(variables, replicate_sharding(mesh))
+
+
 class TiledInferencer:
     def __init__(
         self,
@@ -48,6 +54,7 @@ class TiledInferencer:
         tiler: str = "balanced",
         max_points_per_call: int = 2_000_000,
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -72,6 +79,14 @@ class TiledInferencer:
         # relies on); keeps any single device program within HBM (1M points
         # measured at 2.8 s on one v5e, docs/design.md)
         self.max_points_per_call = max_points_per_call
+        # multi-chip serving: with a jax.sharding.Mesh, each bucket program is
+        # compiled with the cloud axis sharded over the mesh's 'data' axis and
+        # the variables replicated — every chip tiles + encodes its own clouds,
+        # no collective anywhere (clouds are independent); predict_many pads the
+        # cloud batch to a multiple of the mesh size
+        self.mesh = mesh
+        if mesh is not None:
+            self.variables = _replicate_variables(variables, mesh)
         self._fns: Dict[tuple, callable] = {}
         from ampnet_tpu.models.backends import make_forward
 
@@ -112,8 +127,7 @@ class TiledInferencer:
                 return jnp.argsort(assign, stable=True)
             return jnp.arange(n)
 
-        @jax.jit
-        def run(variables, points: jnp.ndarray, keys: jax.Array):
+        def run_impl(variables, points: jnp.ndarray, keys: jax.Array):
             # points: [B, k*cap, 9] (already replicate-padded on host; possibly
             # a half-precision wire format — compute is fp32 from here)
             points = points.astype(jnp.float32)
@@ -127,6 +141,19 @@ class TiledInferencer:
             flat = jnp.zeros((b, n), preds.dtype)
             flat = jax.vmap(lambda fl, o, p: fl.at[o].set(p))(flat, order, preds)
             return flat, order
+
+        if self.mesh is None:
+            run = jax.jit(run_impl)
+        else:
+            from ampnet_tpu.parallel.mesh import batch_sharding, replicate_sharding
+
+            repl = replicate_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            run = jax.jit(
+                run_impl,
+                in_shardings=(repl, data, data),
+                out_shardings=(data, data),
+            )
 
         self._fns[(k, cap)] = run
         return run
@@ -144,6 +171,9 @@ class TiledInferencer:
             out[order[:half]] = self.predict(points9[order[:half]], seed)
             out[order[half:]] = self.predict(points9[order[half:]], seed + 1)
             return out
+        if self.mesh is not None:
+            # sharded programs want the batched entry point
+            return self.predict_many([points9], seeds=[seed])[0]
         k = num_tiles_test(n, self.n_points, self.max_clusters)
         cap = self._cap_for(n, k)
         rng = np.random.default_rng(seed)
@@ -183,6 +213,9 @@ class TiledInferencer:
             # for at most log2(B) batch shapes
             b = len(idxs)
             b_pad = 1 << (b - 1).bit_length()
+            if self.mesh is not None:  # shardable over the mesh's data axis
+                nd = self.mesh.devices.size
+                b_pad = -(-b_pad // nd) * nd
             if b_pad > b:
                 rows = np.concatenate([rows, np.repeat(rows[:1], b_pad - b, axis=0)])
             batch = jnp.asarray(rows.astype(self.transfer_dtype))

@@ -217,3 +217,20 @@ def test_float16_transfer_dtype_predictions_close(inferencer):
     a = inferencer.predict(feats, seed=3)
     b = f16.predict(feats, seed=3)
     assert (a == b).mean() > 0.97, (a != b).mean()
+
+
+def test_mesh_sharded_serving_matches_single_device(inferencer):
+    """TiledInferencer(mesh=...) shards the cloud batch over the mesh with
+    replicated variables; predictions must match single-device exactly."""
+    from ampnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(13)
+    clouds = [make_cloud(rng, n)[0] for n in (700, 730, 1200, 900, 760)]
+    single = inferencer.predict_many(clouds)
+    sharded = TiledInferencer(
+        inferencer.model, inferencer.variables, inferencer.cfg,
+        max_clusters=6, mesh=make_mesh(8),
+    )
+    multi = sharded.predict_many(clouds)
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)

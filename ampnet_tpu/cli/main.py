@@ -562,8 +562,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max_clusters", type=int, default=18)
     s.add_argument("--plot", action="store_true",
                    help="save pred-vs-GT 3D scatter PNGs for the first clouds")
-    s.add_argument("--backend", choices=["xla", "fused", "int8"], default="xla",
-                   help="inference backend (fused/int8 = Pallas kernels)")
+    s.add_argument("--backend", choices=["xla", "folded", "bf16", "fused", "int8"],
+                   default="xla",
+                   help="inference backend (folded/bf16 = BN-folded XLA paths, "
+                        "fused/int8 = Pallas kernels)")
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced",
                    help="'fast' = plain-Lloyd + one balanced solve (~4x cheaper "
                         "tiling, -0.4 mIoU measured)")

@@ -1,6 +1,14 @@
-"""Inference backends: one forward() signature over three implementations.
+"""Inference backends: one forward() signature over five implementations.
 
 * ``'xla'``   — the Flax model as-is (reference implementation, always available);
+* ``'folded'``— plain-XLA with inference BatchNorm folded into the dense kernels
+  (models/folded_infer.py): exact affine rewrite of 'xla', measured ~3% faster
+  at the bench geometry — the fastest single-chip path;
+* ``'bf16'``  — the same assembly with the per-point chains in bfloat16.
+  Measured NEUTRAL-to-slightly-slower than fp32 even with BN folded (4.33 vs
+  4.16 ms median): the layer dots sit at a per-dot floor that neither halved
+  activation traffic nor bf16 MXU rates move — confirming (from a second
+  angle) the round-2 closure of the reduced-precision inference track;
 * ``'fused'`` — Pallas VMEM-resident encoder chains (fp32, BN folded) + plain-jnp
   attention/head evaluated straight from the parameter tree;
 * ``'int8'``  — same assembly with int8 encoder chains (dynamic activation scales).
@@ -88,6 +96,23 @@ def make_forward(
         def forward(variables, points, centroids, pad_mask):
             logits, _, _ = model.apply(variables, points, centroids, pad_mask, train=False)
             return logits
+
+        return forward
+
+    if backend in ("folded", "bf16"):
+        from ampnet_tpu.models.folded_infer import (
+            attention_head_folded,
+            encode_windows_folded,
+        )
+
+        dtype = jnp.bfloat16 if backend == "bf16" else jnp.float32
+
+        def forward(variables, points, centroids, pad_mask):
+            local, glob, _ = encode_windows_folded(variables, points, dtype=dtype)
+            return attention_head_folded(
+                variables, local, glob, centroids, pad_mask,
+                num_heads=cfg.model.att_heads, dtype=dtype,
+            )
 
         return forward
 

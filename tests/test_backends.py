@@ -37,6 +37,27 @@ def test_fused_backend_matches_xla(setup):
     assert agree > 0.999, agree
 
 
+def test_folded_backend_matches_xla(setup):
+    """BN folding is an exact affine rewrite — fp32 'folded' must track 'xla'
+    to float re-association only."""
+    cfg, model, variables, pts, cent, pad = setup
+    ref = make_forward(model, cfg, "xla")(variables, pts, cent, pad)
+    out = make_forward(model, cfg, "folded")(variables, pts, cent, pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    agree = (np.asarray(out.argmax(-1)) == np.asarray(ref.argmax(-1))).mean()
+    assert agree > 0.9999, agree
+
+
+def test_bf16_backend_prediction_agreement(setup):
+    cfg, model, variables, pts, cent, pad = setup
+    ref = make_forward(model, cfg, "xla")(variables, pts, cent, pad)
+    out = make_forward(model, cfg, "bf16")(variables, pts, cent, pad)
+    assert out.dtype == jnp.float32  # logits come back fp32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15, rtol=0.15)
+    agree = (np.asarray(out.argmax(-1)) == np.asarray(ref.argmax(-1))).mean()
+    assert agree > 0.99, agree
+
+
 def test_int8_backend_prediction_agreement(setup):
     cfg, model, variables, pts, cent, pad = setup
     ref = make_forward(model, cfg, "xla")(variables, pts, cent, pad)

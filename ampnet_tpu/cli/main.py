@@ -69,13 +69,8 @@ def cmd_synth(args) -> int:
 
 
 def cmd_preprocess(args) -> int:
-    from ampnet_tpu.data.io_utils import save_cloud
-    from ampnet_tpu.data.las_io import read_las
-    from ampnet_tpu.preproc.filter_norm import filter_and_normalize
-    from ampnet_tpu.preproc.hag import height_above_ground_grid
+    from ampnet_tpu.preproc.pipeline import PreprocessParams, run_pipeline
     from ampnet_tpu.preproc.splits import generate_split_lists
-    from ampnet_tpu.preproc.tiling import kmeans_tile_cloud
-    from ampnet_tpu.preproc.window_split import split_tile_into_windows, window_file_name
 
     os.makedirs(args.out_path, exist_ok=True)
     tiles = sorted(glob.glob(os.path.join(args.in_path, "*.las")))
@@ -83,51 +78,24 @@ def cmd_preprocess(args) -> int:
         print(f"no LAS tiles in {args.in_path}", file=sys.stderr)
         return 1
 
-    produced = []
-    n_failed = 0
-    for tile_path in tiles:
-        tile_name = os.path.splitext(os.path.basename(tile_path))[0]
-        try:
-            las = read_las(tile_path)
-        except Exception as e:
-            # skip-and-continue robustness like the reference's imap_unordered
-            # pools (2_preprocessing_filter_norm.py:131-132)
-            print(f"error reading {tile_path}: {e} — skipped", file=sys.stderr)
-            n_failed += 1
-            continue
-        # stage pdal_hag.sh equivalent: HeightAboveGround
-        hag = las.height_above_ground
-        if hag is None:
-            hag = height_above_ground_grid(las.x, las.y, las.z, las.classification,
-                                           cell=args.hag_cell)
-        tile = np.vstack(
-            [las.x, las.y, hag, las.classification, las.intensity,
-             las.red if las.red is not None else np.zeros(len(las)),
-             las.green if las.green is not None else np.zeros(len(las)),
-             las.blue if las.blue is not None else np.zeros(len(las)),
-             las.nir if las.nir is not None else np.zeros(len(las))]
-        )
-        # stage 1: fixed-footprint windows
-        windows = split_tile_into_windows(tile, (args.window_size, args.window_size))
-        for w in windows:
-            pts = w["points"]
-            # stage 2: filter + normalize into the 13-column schema
-            pc, prefix = filter_and_normalize(
-                x=pts[0], y=pts[1], hag=pts[2], classification=pts[3],
-                intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7], nir=pts[8],
-                max_z=args.max_z, min_points=args.min_points,
-            )
-            if pc is None:
-                continue
-            name = window_file_name(prefix, args.dataset, tile_name, w["window_id"])
-            save_cloud(os.path.join(args.out_path, name + ".pkl"), pc)
-            # stage 3: balanced k-means tiling artifact (.npz native; .pt for
-            # drop-in compatibility with reference consumers)
-            windowed = kmeans_tile_cloud(pc, n_points=args.n_points,
-                                         max_clusters=args.max_windows)
-            ext = args.artifact_format
-            save_cloud(os.path.join(args.out_path, f"kmeans_{name}.{ext}"), windowed)
-            produced.append(name + ".pkl")
+    # pooled runs keep k-means on the host solver so workers never race for
+    # the accelerator (preproc/pipeline.py module docstring)
+    workers = getattr(args, "workers", 1)
+    assigner = getattr(args, "assigner", None) or (
+        "sinkhorn" if workers <= 1 else "exact_mcf"
+    )
+    params = PreprocessParams(
+        out_path=args.out_path, dataset=args.dataset, window_size=args.window_size,
+        max_z=args.max_z, min_points=args.min_points, n_points=args.n_points,
+        max_windows=args.max_windows, hag_cell=args.hag_cell,
+        artifact_format=args.artifact_format, assigner=assigner,
+    )
+    produced, errors = run_pipeline(tiles, params, workers=workers)
+    n_failed = len(errors)
+    for e in errors:
+        # skip-and-continue robustness like the reference's imap_unordered
+        # pools (2_preprocessing_filter_norm.py:131-132)
+        print(e, file=sys.stderr)
 
     # stage 4: split lists — geographic block JSONs (the reference's evaluation
     # protocol, generate_train_test_lists.py:106-210) or a seeded random split
@@ -515,6 +483,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--artifact_format", choices=["npz", "pt"], default="npz",
                    help="kmeans artifact format (.pt = reference-compatible torch)")
+    s.add_argument("--workers", type=int, default=1,
+                   help="host process-pool size over tiles (the reference's "
+                        "mp.Pool preprocessing parallelism); pooled runs use "
+                        "the host k-means assigner")
+    s.add_argument("--assigner", choices=["sinkhorn", "exact_mcf"], default=None,
+                   help="balanced k-means assigner (default: device Sinkhorn "
+                        "single-process, host min-cost-flow when pooled)")
     s.add_argument("--blocks_json", nargs="+", default=None,
                    help="one or more {split: [block names]} JSONs (the reference's "
                         "dataset_blocks_partition_*.json geographic splits); window "

@@ -86,6 +86,34 @@ def test_preprocess_blocks_json_splits(tmp_path):
     assert "tile2" not in train and "tile0" not in val
 
 
+def test_preprocess_worker_pool_matches_serial(tmp_path):
+    """--workers N must produce byte-identical artifacts and split lists to a
+    serial run (reference parallelism: 2_preprocessing_filter_norm.py:145-152,
+    3_kmeans.py:119-127). Same assigner on both sides isolates the pool."""
+    las_dir = str(tmp_path / "las")
+    cmd_synth(ns(out_path=las_dir, n_tiles=2, windows_per_tile=2,
+                 points_per_window=1500, window_size=50.0, seed=1))
+    outs = {}
+    for label, workers in (("serial", 1), ("pooled", 2)):
+        out_dir = str(tmp_path / label)
+        rc = cmd_preprocess(ns(in_path=las_dir, out_path=out_dir, dataset="T",
+                               window_size=50.0, max_z=100.0, min_points=200,
+                               n_points=128, max_windows=3, hag_cell=2.0, seed=0,
+                               artifact_format="npz", workers=workers,
+                               assigner="exact_mcf"))
+        assert rc == 0
+        outs[label] = out_dir
+    serial_files = sorted(os.listdir(outs["serial"]))
+    assert serial_files == sorted(os.listdir(outs["pooled"]))
+    for f in serial_files:
+        a, b = os.path.join(outs["serial"], f), os.path.join(outs["pooled"], f)
+        if f.endswith(".txt"):
+            assert open(a).read() == open(b).read(), f
+        elif f.endswith(".npz"):
+            xa, xb = np.load(a), np.load(b)
+            np.testing.assert_array_equal(xa[xa.files[0]], xb[xb.files[0]], err_msg=f)
+
+
 def test_preprocess_skips_corrupt_tile(tmp_path, capsys):
     las_dir, out_dir = tmp_path / "las", tmp_path / "out"
     las_dir.mkdir()

@@ -354,7 +354,10 @@ def cmd_infer(args) -> int:
         return 1
     cfg, model, state, ckpt_name = restored
     inferencer = TiledInferencer(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        backend=getattr(args, "backend", "xla"),
+        tiler=getattr(args, "tiler", "balanced"),
+        transfer_dtype=getattr(args, "transfer_dtype", None),
     )
 
     os.makedirs(args.out_path, exist_ok=True)
@@ -564,6 +567,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out_path", default="predictions")
     s.add_argument("--arch", default="attention")
     s.add_argument("--window_size", type=float, default=100.0)
+    s.add_argument("--backend", choices=["xla", "folded", "bf16", "fused", "int8"],
+                   default="xla", help="inference backend (as in `ampnet test`)")
+    s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced")
+    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None,
+                   help="host->device wire format (as in `ampnet test`)")
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("bench", help="single-chip throughput benchmark (bench.py)")

@@ -389,6 +389,32 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a trained checkpoint to the reference's torch .pth format
+    (utils/utils.py:422-438 payload) so the reference's own scripts can run it."""
+    from ampnet_tpu.core.torch_export import export_reference_checkpoint
+
+    restored = _restore_model(args, "segmentation")
+    if restored is None:
+        return 1
+    cfg, model, state, ckpt_name = restored
+    arch = cfg.model.context
+    if arch not in ("attention", "gru"):
+        print(f"torch export supports the attention/gru segmenters, not {arch!r}",
+              file=sys.stderr)
+        return 1
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    meta = {
+        "number_of_points": cfg.data.n_points,
+        "batch_size": cfg.train.batch_size,
+        "lr": cfg.train.learning_rate,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+    export_reference_checkpoint(variables, args.out, arch=arch, meta=meta)
+    print(f"exported {ckpt_name} ({arch}) → {args.out}")
+    return 0
+
+
 def cmd_fps(args) -> int:
     """Offline FPS subsampling of large clouds (data_proc/sample_fps.py:12-34)."""
     from ampnet_tpu.data.io_utils import load_cloud, save_cloud
@@ -552,6 +578,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(measured quality-neutral, +44%% serving on a "
                         "transfer-bound link)")
     s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("export", help="export a trained checkpoint to the "
+                                      "reference's torch .pth format")
+    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--out", required=True, help="output .pth path")
+    s.add_argument("--arch", default="attention")
+    s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("fps", help="farthest-point-sample clouds to a fixed size "
                                    "(data_proc/sample_fps.py)")

@@ -208,6 +208,10 @@ class TiledInferencer:
             prepped[i] = (np.concatenate([pc, pc[dup]], axis=0), n)
             buckets.setdefault((k, cap), []).append(i)
 
+        # dispatch every bucket before fetching any result: execution is async,
+        # so bucket i's device→host result transfer overlaps bucket i+1's
+        # upload + compute instead of serializing the pipeline
+        pending = []
         for (k, cap), idxs in buckets.items():
             run = self._bucket_fn(k, cap)
             rows = np.stack([prepped[i][0] for i in idxs])
@@ -225,7 +229,9 @@ class TiledInferencer:
                 [jax.random.PRNGKey(seeds[i]) for i in idxs]
                 + [jax.random.PRNGKey(0)] * (b_pad - b)
             )
-            flat = np.asarray(run(self.variables, batch, keys))
+            pending.append((idxs, run(self.variables, batch, keys)))
+        for idxs, flat in pending:
+            flat = np.asarray(flat)
             for row, i in enumerate(idxs):
                 results[i] = flat[row, : prepped[i][1]].astype(np.int32)
         return results

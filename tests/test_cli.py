@@ -22,7 +22,8 @@ def ns(**kw):
 
 def test_parser_covers_all_subcommands():
     p = build_parser()
-    for cmd in ("synth", "preprocess", "train", "test", "infer", "demo", "fps"):
+    for cmd in ("synth", "preprocess", "train", "test", "infer", "demo", "fps",
+                "export"):
         args = p.parse_args([cmd] + {
             "synth": ["--out_path", "/tmp/x"],
             "preprocess": ["--in_path", "/tmp/a", "--out_path", "/tmp/b"],
@@ -31,6 +32,7 @@ def test_parser_covers_all_subcommands():
             "infer": ["/tmp/d", "--model_checkpoint", "c"],
             "demo": [],
             "fps": ["--in_path", "/tmp/a", "--out_path", "/tmp/b"],
+            "export": ["--model_checkpoint", "c", "--out", "/tmp/m.pth"],
         }[cmd])
         assert callable(args.fn)
 

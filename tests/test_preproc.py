@@ -245,6 +245,36 @@ class TestLasRobustness:
             read_las(p)
 
 
+    def test_header_corruption_fuzz(self, tmp_path, rng):
+        """Flipping bytes anywhere in the header must never crash the process
+        or hang: read_las either raises a clean exception or returns a cloud
+        whose field lengths are mutually consistent."""
+        n = 50
+        cloud = LasCloud(
+            x=rng.uniform(0, 10, n), y=rng.uniform(0, 10, n), z=rng.uniform(0, 10, n),
+            intensity=np.zeros(n), classification=np.ones(n, np.int64),
+            red=np.zeros(n), green=np.zeros(n), blue=np.zeros(n),
+        )
+        base = str(tmp_path / "base.las")
+        write_las(base, cloud, point_format=3)
+        blob = open(base, "rb").read()
+        fuzz_rng = np.random.default_rng(42)
+        for trial in range(60):
+            data = bytearray(blob)
+            for _ in range(fuzz_rng.integers(1, 4)):
+                pos = int(fuzz_rng.integers(4, min(250, len(data))))  # keep 'LASF'
+                data[pos] = int(fuzz_rng.integers(0, 256))
+            p = str(tmp_path / f"fuzz{trial}.las")
+            open(p, "wb").write(bytes(data))
+            try:
+                out = read_las(p)
+            except Exception:
+                continue  # clean rejection is fine
+            m = len(out)
+            assert out.x.shape == out.y.shape == out.z.shape == (m,)
+            assert out.classification.shape == (m,)
+
+
 def test_read_las_mmap_matches(tmp_path, rng):
     n = 400
     cloud = LasCloud(

@@ -78,12 +78,12 @@ def cmd_preprocess(args) -> int:
         print(f"no LAS tiles in {args.in_path}", file=sys.stderr)
         return 1
 
-    # pooled runs keep k-means on the host solver so workers never race for
-    # the accelerator (preproc/pipeline.py module docstring)
+    # offline preprocessing defaults to the host min-cost-flow solver: it's the
+    # exact reference semantics (KMeansConstrained), ~85 ms per full cloud on
+    # one core, never touches (or compiles for) the accelerator, and is safe
+    # under a worker pool. --assigner sinkhorn opts into the device path.
     workers = getattr(args, "workers", 1)
-    assigner = getattr(args, "assigner", None) or (
-        "sinkhorn" if workers <= 1 else "exact_mcf"
-    )
+    assigner = getattr(args, "assigner", None) or "exact_mcf"
     params = PreprocessParams(
         out_path=args.out_path, dataset=args.dataset, window_size=args.window_size,
         max_z=args.max_z, min_points=args.min_points, n_points=args.n_points,
@@ -517,8 +517,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "mp.Pool preprocessing parallelism); pooled runs use "
                         "the host k-means assigner")
     s.add_argument("--assigner", choices=["sinkhorn", "exact_mcf"], default=None,
-                   help="balanced k-means assigner (default: device Sinkhorn "
-                        "single-process, host min-cost-flow when pooled)")
+                   help="balanced k-means assigner (default exact_mcf: the host "
+                        "min-cost-flow solver — exact KMeansConstrained "
+                        "semantics, no accelerator dependency; sinkhorn = the "
+                        "jitted device path)")
     s.add_argument("--blocks_json", nargs="+", default=None,
                    help="one or more {split: [block names]} JSONs (the reference's "
                         "dataset_blocks_partition_*.json geographic splits); window "

@@ -7,11 +7,13 @@ host process pool (the reference parallelizes stages 2 and 3 with
 ``multiprocessing.Pool(10)`` / ``Pool(5)`` —
 ``2_preprocessing_filter_norm.py:145-152``, ``3_kmeans.py:119-127``).
 
-Worker-pool note: the balanced-k-means stage defaults to the jitted Sinkhorn
-assigner, which initializes the JAX backend. Worker processes must not race
-for the accelerator, so pooled runs use the host assigner (``'exact_mcf'`` —
-the native min-cost-flow solver with its NumPy fallback) unless told
-otherwise; both satisfy the same exactly-``n_points``-per-window constraint.
+The CLI defaults the balanced-k-means stage to the host assigner
+(``'exact_mcf'`` — the native min-cost-flow solver with its NumPy fallback):
+exact ``KMeansConstrained`` semantics, no accelerator dependency, and safe
+under a worker pool. ``'sinkhorn'`` selects the jitted device path, which
+initializes the JAX backend — workers would race for the accelerator, so pair
+it with ``workers=1``. Both satisfy the same exactly-``n_points``-per-window
+constraint.
 """
 
 from __future__ import annotations

@@ -380,11 +380,18 @@ def cmd_infer(args) -> int:
 
     files = [os.path.basename(f) for f in sorted(glob.glob(os.path.join(args.dataset_path, "*.pkl")))]
     ds = InferenceCloudDataset(args.dataset_path, files)
+    save_probs = getattr(args, "save_probs", False)
     for i in range(len(ds)):
         sample = ds[i]
         feats = normalize_xy_neg_one(select_model_features(sample["points"]))
-        preds = inferencer.predict(feats, seed=i)
-        np.save(os.path.join(args.out_path, sample["name"] + "_preds.npy"), preds)
+        out = inferencer.predict(feats, seed=i, return_probs=save_probs)
+        stem = os.path.splitext(sample["name"])[0]
+        if save_probs:
+            preds, probs = out
+            np.save(os.path.join(args.out_path, stem + "_probs.npy"), probs)
+        else:
+            preds = out
+        np.save(os.path.join(args.out_path, stem + "_preds.npy"), preds)
     print(f"wrote predictions for {len(ds)} clouds to {args.out_path}")
     return 0
 
@@ -607,6 +614,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced")
     s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None,
                    help="host->device wire format (as in `ampnet test`)")
+    s.add_argument("--save_probs", action="store_true",
+                   help="also write per-point softmax confidences "
+                        "(<name>_probs.npy, float16)")
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("bench", help="single-chip throughput benchmark (bench.py)")

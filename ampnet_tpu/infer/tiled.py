@@ -107,13 +107,15 @@ class TiledInferencer:
             cap *= 2
         return cap
 
-    def _bucket_fn(self, k: int, cap: int):
+    def _bucket_fn(self, k: int, cap: int, probs: bool = False):
         """Jitted whole-pipeline program for clouds tiling into k clusters of cap
         points. Batched over clouds: input [B, k*cap, 9] — per-cloud k-means runs
         under vmap, then one [B, k, cap, ·] model forward serves the whole batch
-        (dispatch latency amortizes across clouds in serving)."""
-        if (k, cap) in self._fns:
-            return self._fns[(k, cap)]
+        (dispatch latency amortizes across clouds in serving). With ``probs``
+        the program additionally returns per-point class probabilities
+        (softmax, float16 wire — confidence maps for downstream thresholding)."""
+        if (k, cap, probs) in self._fns:
+            return self._fns[(k, cap, probs)]
         fwd = self._forward
 
         def tile_one(points: jnp.ndarray, key: jax.Array):
@@ -142,7 +144,12 @@ class TiledInferencer:
             preds = jnp.argmax(logits, axis=-1).reshape(b, n).astype(jnp.int8)
             flat = jnp.zeros((b, n), preds.dtype)
             flat = jax.vmap(lambda fl, o, p: fl.at[o].set(p))(flat, order, preds)
-            return flat
+            if not probs:
+                return flat
+            p = jax.nn.softmax(logits, axis=-1).reshape(b, n, -1).astype(jnp.float16)
+            pflat = jnp.zeros((b, n, p.shape[-1]), p.dtype)
+            pflat = jax.vmap(lambda fl, o, q: fl.at[o].set(q))(pflat, order, p)
+            return flat, pflat
 
         if self.mesh is None:
             run = jax.jit(run_impl)
@@ -151,17 +158,21 @@ class TiledInferencer:
 
             repl = replicate_sharding(self.mesh)
             data = batch_sharding(self.mesh)
+            out_shard = (data, data) if probs else data
             run = jax.jit(
                 run_impl,
                 in_shardings=(repl, data, data),
-                out_shardings=data,
+                out_shardings=out_shard,
             )
 
-        self._fns[(k, cap)] = run
+        self._fns[(k, cap, probs)] = run
         return run
 
-    def predict(self, points9: np.ndarray, seed: int = 0) -> np.ndarray:
-        """Per-point class predictions for one [N, 9] cloud of any size."""
+    def predict(self, points9: np.ndarray, seed: int = 0, return_probs: bool = False):
+        """Per-point class predictions for one [N, 9] cloud of any size.
+
+        With ``return_probs`` returns ``(preds [N], probs [N, num_classes])``
+        (softmax confidences, float16)."""
         n = points9.shape[0]
         if n > self.max_points_per_call:
             # balanced spatial halving along the wider of x/y (argsort split —
@@ -169,29 +180,39 @@ class TiledInferencer:
             axis = int(np.ptp(points9[:, 1]) > np.ptp(points9[:, 0]))
             order = np.argsort(points9[:, axis], kind="stable")
             half = n // 2
+            a = self.predict(points9[order[:half]], seed, return_probs)
+            b = self.predict(points9[order[half:]], seed + 1, return_probs)
             out = np.empty((n,), np.int32)
-            out[order[:half]] = self.predict(points9[order[:half]], seed)
-            out[order[half:]] = self.predict(points9[order[half:]], seed + 1)
+            if return_probs:
+                probs = np.empty((n, a[1].shape[-1]), a[1].dtype)
+                out[order[:half]], probs[order[:half]] = a
+                out[order[half:]], probs[order[half:]] = b
+                return out, probs
+            out[order[:half]], out[order[half:]] = a, b
             return out
         if self.mesh is not None:
             # sharded programs want the batched entry point
-            return self.predict_many([points9], seeds=[seed])[0]
+            return self.predict_many([points9], seeds=[seed], return_probs=return_probs)[0]
         k = num_tiles_test(n, self.n_points, self.max_clusters)
         cap = self._cap_for(n, k)
         rng = np.random.default_rng(seed)
         dup = rng.integers(0, n, k * cap - n)  # k*cap >= n by construction
         padded = np.concatenate([points9, points9[dup]], axis=0)
-        run = self._bucket_fn(k, cap)
-        flat = run(
+        run = self._bucket_fn(k, cap, probs=return_probs)
+        out = run(
             self.variables,
             jnp.asarray(padded.astype(self.transfer_dtype))[None],
             jax.random.PRNGKey(seed)[None],
         )
-        return np.asarray(flat[0])[:n].astype(np.int32)
+        if return_probs:
+            flat, pflat = out
+            return np.asarray(flat[0])[:n].astype(np.int32), np.asarray(pflat[0])[:n]
+        return np.asarray(out[0])[:n].astype(np.int32)
 
-    def predict_many(self, clouds, seeds=None) -> list:
+    def predict_many(self, clouds, seeds=None, return_probs: bool = False) -> list:
         """Predictions for a list of [N_i, 9] clouds, batching same-bucket clouds
-        into single device calls (serving path: dispatch overhead amortizes)."""
+        into single device calls (serving path: dispatch overhead amortizes).
+        With ``return_probs`` every entry is ``(preds, probs)``."""
         seeds = seeds or list(range(len(clouds)))
         results = [None] * len(clouds)
         buckets: Dict[tuple, list] = {}
@@ -199,7 +220,7 @@ class TiledInferencer:
         for i, pc in enumerate(clouds):
             n = pc.shape[0]
             if n > self.max_points_per_call:  # mega-clouds go down the
-                results[i] = self.predict(pc, seeds[i])  # spatial-halving path
+                results[i] = self.predict(pc, seeds[i], return_probs)  # spatial halving
                 continue
             k = num_tiles_test(n, self.n_points, self.max_clusters)
             cap = self._cap_for(n, k)
@@ -213,7 +234,7 @@ class TiledInferencer:
         # upload + compute instead of serializing the pipeline
         pending = []
         for (k, cap), idxs in buckets.items():
-            run = self._bucket_fn(k, cap)
+            run = self._bucket_fn(k, cap, probs=return_probs)
             rows = np.stack([prepped[i][0] for i in idxs])
             # pad the cloud batch to a power of two so each (k, cap) bucket compiles
             # for at most log2(B) batch shapes
@@ -230,10 +251,16 @@ class TiledInferencer:
                 + [jax.random.PRNGKey(0)] * (b_pad - b)
             )
             pending.append((idxs, run(self.variables, batch, keys)))
-        for idxs, flat in pending:
-            flat = np.asarray(flat)
-            for row, i in enumerate(idxs):
-                results[i] = flat[row, : prepped[i][1]].astype(np.int32)
+        for idxs, out in pending:
+            if return_probs:
+                flat, pflat = np.asarray(out[0]), np.asarray(out[1])
+                for row, i in enumerate(idxs):
+                    n_i = prepped[i][1]
+                    results[i] = (flat[row, :n_i].astype(np.int32), pflat[row, :n_i])
+            else:
+                flat = np.asarray(out)
+                for row, i in enumerate(idxs):
+                    results[i] = flat[row, : prepped[i][1]].astype(np.int32)
         return results
 
 

@@ -56,6 +56,22 @@ def test_predict_covers_every_point(inferencer, n):
     assert ((preds >= 0) & (preds < 5)).all()
 
 
+def test_return_probs_consistent_with_preds(inferencer):
+    """Softmax confidences: valid distribution per point, argmax == preds, and
+    predict/predict_many agree."""
+    rng = np.random.default_rng(5)
+    feats, _ = make_cloud(rng, 900)
+    preds, probs = inferencer.predict(feats, seed=2, return_probs=True)
+    assert probs.shape == (900, 5) and probs.dtype == np.float16
+    np.testing.assert_allclose(probs.sum(-1).astype(np.float32), 1.0, atol=2e-3)
+    assert (probs.argmax(-1) == preds).mean() > 0.999
+    (preds2, probs2), = inferencer.predict_many([feats], seeds=[2], return_probs=True)
+    np.testing.assert_array_equal(preds2, preds)
+    np.testing.assert_array_equal(probs2, probs)
+    # plain path unchanged
+    np.testing.assert_array_equal(inferencer.predict(feats, seed=2), preds)
+
+
 def test_huge_cloud_full_coverage(inferencer):
     """Clouds far beyond max_clusters*2*n_points are fully covered: the per-cluster
     capacity scales with N (reference size_min-only tiling, utils/utils.py:500-505),

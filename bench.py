@@ -92,10 +92,14 @@ def measure_tpu(iters: int = 30) -> dict:
 
     variables = model.init(jax.random.PRNGKey(0), pts, cent, pad)
 
-    # AMPNET_BACKEND=xla|fused|int8 selects the inference backend (models/backends)
+    # AMPNET_BACKEND=xla|folded|bf16|fused|int8 selects the inference backend
+    # (models/backends). Default 'folded': inference BN folded into the dense
+    # kernels — an EXACT affine rewrite of the flax forward (parity 2e-4,
+    # tests/test_backends.py), measured ~3% faster than 'xla' and the fastest
+    # path on this stack (docs/design.md).
     from ampnet_tpu.models.backends import make_forward
 
-    backend = os.environ.get("AMPNET_BACKEND", "xla")
+    backend = os.environ.get("AMPNET_BACKEND", "folded")
     fwd = make_forward(model, cfg, backend)
 
     @jax.jit

@@ -361,8 +361,14 @@ def cmd_infer(args) -> int:
     )
 
     os.makedirs(args.out_path, exist_ok=True)
+    save_probs = getattr(args, "save_probs", False)
     las_tiles = sorted(glob.glob(os.path.join(args.dataset_path, "*.las")))
     if las_tiles:
+        if save_probs:
+            print("--save_probs is not supported in whole-tile LAS mode (the "
+                  "output is a classified LAS); run on .pkl clouds instead",
+                  file=sys.stderr)
+            return 1
         # whole-tile mode: LAS in → classified LAS out
         from ampnet_tpu.infer.full_tile import classify_las_file
 
@@ -380,18 +386,24 @@ def cmd_infer(args) -> int:
 
     files = [os.path.basename(f) for f in sorted(glob.glob(os.path.join(args.dataset_path, "*.pkl")))]
     ds = InferenceCloudDataset(args.dataset_path, files)
-    save_probs = getattr(args, "save_probs", False)
-    for i in range(len(ds)):
-        sample = ds[i]
-        feats = normalize_xy_neg_one(select_model_features(sample["points"]))
-        out = inferencer.predict(feats, seed=i, return_probs=save_probs)
-        stem = os.path.splitext(sample["name"])[0]
-        if save_probs:
-            preds, probs = out
-            np.save(os.path.join(args.out_path, stem + "_probs.npy"), probs)
-        else:
-            preds = out
-        np.save(os.path.join(args.out_path, stem + "_preds.npy"), preds)
+    # chunked predict_many: same-bucket clouds batch into single device calls
+    # and bucket fetches pipeline (infer/tiled.py), instead of one dispatch
+    # round-trip per cloud
+    chunk_size = 16
+    for start in range(0, len(ds), chunk_size):
+        chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]
+        feats = [normalize_xy_neg_one(select_model_features(s["points"])) for s in chunk]
+        outs = inferencer.predict_many(
+            feats, seeds=list(range(start, start + len(chunk))), return_probs=save_probs
+        )
+        for sample, out in zip(chunk, outs):
+            stem = os.path.splitext(sample["name"])[0]
+            if save_probs:
+                preds, probs = out
+                np.save(os.path.join(args.out_path, stem + "_probs.npy"), probs)
+            else:
+                preds = out
+            np.save(os.path.join(args.out_path, stem + "_preds.npy"), preds)
     print(f"wrote predictions for {len(ds)} clouds to {args.out_path}")
     return 0
 
@@ -405,9 +417,13 @@ def cmd_export(args) -> int:
     if restored is None:
         return 1
     cfg, model, state, ckpt_name = restored
-    arch = cfg.model.context
-    if arch not in ("attention", "gru"):
-        print(f"torch export supports the attention/gru segmenters, not {arch!r}",
+    # derive the export family from the parameter tree itself — ground truth
+    # even when the checkpoint stored no config and --arch disagrees
+    ctx = state.params.get("context", {})
+    arch = "gru" if "gru" in ctx else ("attention" if "mha" in ctx else None)
+    if arch is None:
+        print("torch export supports the attention/gru segmenters (no "
+              "context.mha/context.gru in the checkpoint's parameters)",
               file=sys.stderr)
         return 1
     variables = {"params": state.params, "batch_stats": state.batch_stats}

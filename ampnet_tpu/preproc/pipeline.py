@@ -36,7 +36,9 @@ class PreprocessParams:
     max_windows: int = 9
     hag_cell: float = 2.0
     artifact_format: str = "npz"
-    assigner: str = "sinkhorn"  # 'sinkhorn' (device) | 'exact_mcf' (host)
+    # 'exact_mcf' (host solver, pool-safe) | 'sinkhorn' (jitted device path —
+    # pair with workers=1; pooled workers would race for the accelerator)
+    assigner: str = "exact_mcf"
 
 
 def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], Optional[str]]:

@@ -70,3 +70,15 @@ def test_unknown_backend_rejected(setup):
     cfg, model, *_ = setup
     with pytest.raises(ValueError):
         make_forward(model, cfg, "fp4")
+
+
+def test_window_bn_mode_rejected_by_folding_backends():
+    """Every folding backend normalizes with RUNNING stats; bn_mode='window'
+    models neither use nor update them, so folding would silently produce
+    wrong logits — make_forward must refuse."""
+    cfg = AMPNetConfig(model=ModelConfig(bn_mode="window"))
+    model = AMPNetSegmenter(cfg.model)
+    for backend in ("folded", "bf16", "fused", "int8"):
+        with pytest.raises(ValueError, match="bn_mode"):
+            make_forward(model, cfg, backend)
+    make_forward(model, cfg, "xla")  # the flax path stays available

@@ -114,6 +114,8 @@ def test_preprocess_worker_pool_matches_serial(tmp_path):
         elif f.endswith(".npz"):
             xa, xb = np.load(a), np.load(b)
             np.testing.assert_array_equal(xa[xa.files[0]], xb[xb.files[0]], err_msg=f)
+        else:  # the .pkl windows — byte-identical
+            assert open(a, "rb").read() == open(b, "rb").read(), f
 
 
 def test_preprocess_skips_corrupt_tile(tmp_path, capsys):

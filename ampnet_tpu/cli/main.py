@@ -205,9 +205,13 @@ def cmd_train(args) -> int:
 
         mesh = make_mesh(args.num_devices)
     model = build_model(cfg, args.arch, args.task)
+    from ampnet_tpu.data.device_cache import maybe_device_cache
+
+    cache_mode = getattr(args, "device_cache", "auto")
     trainer = Trainer(
-        cfg, model, mk_batch(train_ds, cfg.train.seed),
-        mk_batch(val_ds, cfg.train.seed + 1) if val_ds is not None else None,
+        cfg, model, maybe_device_cache(mk_batch(train_ds, cfg.train.seed), mesh, cache_mode),
+        maybe_device_cache(mk_batch(val_ds, cfg.train.seed + 1), mesh, cache_mode)
+        if val_ds is not None else None,
         args.out_path, name=f"{args.arch}_{args.task}", task=args.task, mesh=mesh,
     )
     if args.task == "classification":
@@ -567,6 +571,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--weighing_method", default="EFS")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--model_checkpoint", default="")
+    s.add_argument("--device_cache", choices=["auto", "on", "off"], default="auto",
+                   help="keep the padded dataset resident in HBM and gather "
+                        "batches on device (auto: when it fits in 4 GiB)")
     s.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel device count (batch axis sharded over a Mesh)")
     s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",

@@ -303,14 +303,19 @@ def global_device_batch(local_batch: Dict, mesh) -> Dict:
 
 
 def to_device_batch(batch: Dict, mesh=None) -> Dict:
-    """Move the array fields of a host batch onto the device(s)."""
+    """Move the array fields of a host batch onto the device(s). Fields that are
+    already jax.Arrays (DeviceCachedBatcher output) pass through untouched —
+    they were gathered on device with the right sharding."""
     import jax
     import jax.numpy as jnp
 
+    out = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
     arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
     if mesh is not None:
         from ampnet_tpu.parallel.mesh import batch_sharding
 
         sh = batch_sharding(mesh)
-        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
-    return {k: jnp.asarray(v) for k, v in arrays.items()}
+        out.update({k: jax.device_put(v, sh) for k, v in arrays.items()})
+    else:
+        out.update({k: jnp.asarray(v) for k, v in arrays.items()})
+    return out

@@ -135,6 +135,9 @@ class Trainer:
         return True
 
     def _run_epoch(self, data: PaddedBatcher, train: bool) -> Dict:
+        # Per-batch metrics stay ON DEVICE until the epoch ends: converting them
+        # per step would force a host sync between every dispatch (costly over a
+        # remote-relay transport); deferring keeps the step stream fully async.
         confusions, losses = [], {"loss": [], "ce_loss": [], "reg_loss": []}
         for batch in data:
             dev = to_device_batch(batch, self.mesh)
@@ -144,11 +147,13 @@ class Trainer:
                 metrics, _ = self.eval_step(self.state, dev)
             for k in losses:
                 if k in metrics:
-                    losses[k].append(float(metrics[k]))
-            confusions.append(np.asarray(metrics["confusion"]))
+                    losses[k].append(metrics[k])
+            confusions.append(metrics["confusion"])
         if not confusions:
             return {}
-        return _epoch_metrics(confusions, losses)
+        confusions, losses = jax.device_get((confusions, losses))
+        losses = {k: [float(x) for x in v] for k, v in losses.items()}
+        return _epoch_metrics([np.asarray(c) for c in confusions], losses)
 
     def fit(self, epochs: Optional[int] = None) -> Dict:
         epochs = epochs or self.cfg.train.epochs

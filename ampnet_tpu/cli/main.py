@@ -213,6 +213,7 @@ def cmd_train(args) -> int:
         maybe_device_cache(mk_batch(val_ds, cfg.train.seed + 1), mesh, cache_mode)
         if val_ds is not None else None,
         args.out_path, name=f"{args.arch}_{args.task}", task=args.task, mesh=mesh,
+        epoch_dispatch=getattr(args, "epoch_dispatch", "auto"),
     )
     if args.task == "classification":
         from ampnet_tpu.train.cls_step import make_cls_step_fns
@@ -574,6 +575,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--device_cache", choices=["auto", "on", "off"], default="auto",
                    help="keep the padded dataset resident in HBM and gather "
                         "batches on device (auto: when it fits in 4 GiB)")
+    s.add_argument("--epoch_dispatch", choices=["auto", "off"], default="auto",
+                   help="run each epoch as ONE lax.scan program over the device "
+                        "cache (auto: whenever the cache is active)")
     s.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel device count (batch axis sharded over a Mesh)")
     s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",
@@ -664,8 +668,34 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    First-time compiles through this environment's remote relay take minutes;
+    cached recompiles take seconds and hit across processes. The env var
+    JAX_COMPILATION_CACHE_DIR is read too early here (the TPU plugin imports
+    jax during interpreter startup), so the config must be set at runtime —
+    same pattern as bench.py. ``AMPNET_COMPILE_CACHE=off`` disables;
+    ``AMPNET_COMPILE_CACHE=<dir>`` overrides the location."""
+    loc = os.environ.get("AMPNET_COMPILE_CACHE", "")
+    if loc == "off":
+        return
+    if not loc:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        loc = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a hard failure
+        print(f"compilation cache disabled: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

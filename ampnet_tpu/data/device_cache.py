@@ -67,6 +67,20 @@ def _single_sample_loader(batcher):
     return loader
 
 
+def gather_batch(data: Dict, idx, pad_mask):
+    """On-device batch gather from the cache; replicated pad entries get all
+    labels −1 (loss-ignored + attention-masked), exactly like
+    ``PaddedBatcher._pad_batch_to_multiple``. Pure, jit/scan-composable."""
+    import jax.numpy as jnp
+
+    out = {k: v[idx] for k, v in data.items()}
+    if "labels" in out:
+        lbl = out["labels"]
+        m = pad_mask.reshape((-1,) + (1,) * (lbl.ndim - 1))
+        out["labels"] = jnp.where(m, jnp.asarray(-1, lbl.dtype), lbl)
+    return out
+
+
 class DeviceCachedBatcher:
     """Wrap a ``PaddedBatcher``/``SingleCloudBatcher``; serve its batches from a
     device-resident cache via an on-device gather."""
@@ -119,18 +133,8 @@ class DeviceCachedBatcher:
 
     def _make_gather(self):
         import jax
-        import jax.numpy as jnp
 
-        def gather(data: Dict, idx, pad_mask):
-            out = {k: v[idx] for k, v in data.items()}
-            if "labels" in out:
-                # replicated pad entries are loss-ignored + attention-masked,
-                # exactly like PaddedBatcher._pad_batch_to_multiple
-                lbl = out["labels"]
-                m = pad_mask.reshape((-1,) + (1,) * (lbl.ndim - 1))
-                out["labels"] = jnp.where(m, jnp.asarray(-1, lbl.dtype), lbl)
-            return out
-
+        gather = gather_batch
         if self.mesh is None:
             return jax.jit(gather)
         from ampnet_tpu.parallel.mesh import batch_sharding, replicate_sharding
@@ -148,28 +152,58 @@ class DeviceCachedBatcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict]:
-        import jax.numpy as jnp
-
+    def _epoch_indices(self, pad_to: Optional[int] = None):
+        """Per-batch (idx, pad, names) for one epoch — advances the epoch
+        counter with the same rng semantics as the host batcher. ``pad_to``
+        additionally pads every batch to a fixed width (whole-epoch scan needs
+        rectangular [S, B]); pad entries replicate earlier samples and are
+        marked True (labels forced to −1 by the gather)."""
         rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
-        n = len(self.names)
-        order = np.arange(n)
+        order = np.arange(len(self.names))
         if self.shuffle:
             rng.shuffle(order)
+        out = []
         for b in range(len(self)):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             pad = np.zeros(len(idx), bool)
             names = [self.names[i] for i in idx]
             m = self.pad_to_multiple
-            if m > 1 and len(idx) % m:
-                reps = m - len(idx) % m
+            width = len(idx)
+            if m > 1 and width % m:
+                width += m - width % m
+            if pad_to is not None:
+                width = max(width, pad_to)
+            if width > len(idx):
+                reps = width - len(idx)
                 extra = idx[np.arange(reps) % len(idx)]
                 idx = np.concatenate([idx, extra])
                 pad = np.concatenate([pad, np.ones(reps, bool)])
                 names = names + [f"<pad:{self.names[i]}>" for i in extra]
+            out.append((idx.astype(np.int32), pad, names))
+        return out
+
+    def epoch_index_matrix(self):
+        """Rectangular ``(idxs [S, B], pads [S, B], names)`` for a whole-epoch
+        ``lax.scan`` dispatch (train/epoch.py)."""
+        batches = self._epoch_indices(pad_to=self.batch_size)
+        if not batches:
+            return (
+                np.zeros((0, self.batch_size), np.int32),
+                np.zeros((0, self.batch_size), bool),
+                [],
+            )
+        idxs = np.stack([b[0] for b in batches])
+        pads = np.stack([b[1] for b in batches])
+        names = [b[2] for b in batches]
+        return idxs, pads, names
+
+    def __iter__(self) -> Iterator[Dict]:
+        import jax.numpy as jnp
+
+        for idx, pad, names in self._epoch_indices():
             batch = dict(
-                self._gather(self._data, jnp.asarray(idx, jnp.int32), jnp.asarray(pad))
+                self._gather(self._data, jnp.asarray(idx), jnp.asarray(pad))
             )
             batch["names"] = names
             yield batch

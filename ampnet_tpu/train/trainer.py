@@ -84,6 +84,7 @@ class Trainer:
         task: str = "segmentation",
         mesh=None,
         augment: bool = True,
+        epoch_dispatch: str = "auto",
     ):
         self.cfg = cfg
         self.model = model
@@ -93,6 +94,10 @@ class Trainer:
         self.name = name
         self.task = task
         self.mesh = mesh
+        # whole-epoch lax.scan dispatch (train/epoch.py): 'auto' uses it for
+        # any DeviceCachedBatcher; 'off' forces the per-step path
+        self.epoch_dispatch = epoch_dispatch
+        self._epoch_fns: Dict = {}
 
         sample = next(iter(train_data))
         self.steps_per_epoch = max(len(train_data), 1)
@@ -134,7 +139,42 @@ class Trainer:
         self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         return True
 
+    def _use_epoch_dispatch(self, data) -> bool:
+        from ampnet_tpu.data.device_cache import DeviceCachedBatcher
+
+        if self.epoch_dispatch == "off" or not isinstance(data, DeviceCachedBatcher):
+            return False
+        step = self.train_step  # cls-step injection replaces both fns alike
+        return hasattr(step, "__wrapped__")
+
+    def _run_epoch_fused(self, data, train: bool) -> Dict:
+        """One lax.scan program call for the whole epoch (train/epoch.py)."""
+        idxs, pads, _ = data.epoch_index_matrix()
+        if idxs.shape[0] == 0:
+            return {}
+        key = (train, idxs.shape)
+        if key not in self._epoch_fns:
+            from ampnet_tpu.train.epoch import make_epoch_fns
+
+            fns = make_epoch_fns(self.train_step, self.eval_step, mesh=self.mesh)
+            self._epoch_fns[(True, idxs.shape)] = fns[0]
+            self._epoch_fns[(False, idxs.shape)] = fns[1]
+        if train:
+            self.state, ms = self._epoch_fns[key](self.state, data._data, idxs, pads)
+        else:
+            ms = self._epoch_fns[key](self.state, data._data, idxs, pads)
+        ms = jax.device_get(ms)  # ONE fetch per epoch
+        confusions = [np.asarray(c) for c in ms["confusion"]]
+        losses = {
+            k: [float(x) for x in ms[k]]
+            for k in ("loss", "ce_loss", "reg_loss")
+            if k in ms
+        }
+        return _epoch_metrics(confusions, losses)
+
     def _run_epoch(self, data: PaddedBatcher, train: bool) -> Dict:
+        if self._use_epoch_dispatch(data):
+            return self._run_epoch_fused(data, train)
         # Per-batch metrics stay ON DEVICE until the epoch ends: converting them
         # per step would force a host sync between every dispatch (costly over a
         # remote-relay transport); deferring keeps the step stream fully async.

@@ -86,10 +86,18 @@ class DeviceCachedBatcher:
     device-resident cache via an on-device gather."""
 
     def __init__(self, inner, mesh=None, limit_bytes: int = DEFAULT_LIMIT_BYTES):
+        from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+        if isinstance(inner, HostShardedBatcher):
+            # each host sees only its 1/host_count slice — caching that slice
+            # would silently change the epoch distribution; multi-host input
+            # stays on the host pipeline
+            raise ValueError("DeviceCachedBatcher does not support HostShardedBatcher")
         self.inner = inner
         self.mesh = mesh
         self.batch_size = inner.batch_size
         self.n_points = inner.n_points
+        self.max_windows = getattr(inner, "max_windows", 1)
         self.seed = inner.seed
         self.shuffle = inner.shuffle
         self.drop_last = inner.drop_last

@@ -201,7 +201,18 @@ class Trainer:
         t_start = time.time()
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
+            t_ep = time.time()
             tm = self._run_epoch(self.train_data, train=True)
+            # observability: epoch wall + training throughput (the reference
+            # prints wall-clock deltas, train_pointnet-attention.py:334)
+            wall = time.time() - t_ep
+            tm["epoch_seconds"] = wall
+            n_windows = (
+                len(self.train_data)
+                * self.train_data.batch_size
+                * getattr(self.train_data, "max_windows", 1)
+            )
+            tm["windows_per_sec"] = n_windows / max(wall, 1e-9)
             self.log_train.scalars(tm, epoch)
             history["train"].append(tm)
 

@@ -674,20 +674,21 @@ def main(argv=None) -> int:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache for every CLI entry point.
+    """Opt-in persistent XLA compilation cache: ``AMPNET_COMPILE_CACHE=<dir>``.
 
-    First-time compiles through this environment's remote relay take minutes;
-    cached recompiles take seconds and hit across processes. The env var
-    JAX_COMPILATION_CACHE_DIR is read too early here (the TPU plugin imports
-    jax during interpreter startup), so the config must be set at runtime —
-    same pattern as bench.py. ``AMPNET_COMPILE_CACHE=off`` disables;
-    ``AMPNET_COMPILE_CACHE=<dir>`` overrides the location."""
+    Worth it when the SAME program re-runs (identical shapes/config):
+    cached recompiles land in seconds. Off by default because POPULATING the
+    cache is not free on remote-compile transports — writing an entry means
+    serializing the compiled executable back from the compile service (measured
+    here: 83 s scan compile without the cache vs 418 s while writing it), so
+    one-off runs pay heavily for a cache they never reuse. The env var
+    JAX_COMPILATION_CACHE_DIR would be read too early in this process (the TPU
+    plugin imports jax during interpreter startup), hence the runtime config
+    update — same pattern as bench.py, which manages its own cache because the
+    bench re-runs identical programs every round."""
     loc = os.environ.get("AMPNET_COMPILE_CACHE", "")
-    if loc == "off":
+    if not loc or loc == "off":
         return
-    if not loc:
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        loc = os.path.join(repo, ".jax_cache")
     try:
         os.makedirs(loc, exist_ok=True)
         import jax

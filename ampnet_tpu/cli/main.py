@@ -413,6 +413,46 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve a trained model over HTTP (infer/server.py): resident model, warm
+    bucket programs, micro-batched concurrent requests. The reference's only
+    'serving' is re-running its evaluation CLI per file."""
+    from ampnet_tpu.infer.server import InferenceServer
+    from ampnet_tpu.infer.tiled import TiledInferencer
+
+    restored = _restore_model(args, "segmentation")
+    if restored is None:
+        return 1
+    cfg, model, state, ckpt_name = restored
+    inferencer = TiledInferencer(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        max_clusters=args.max_clusters,
+        backend=args.backend,
+        tiler=args.tiler,
+        transfer_dtype=args.transfer_dtype,
+    )
+    server = InferenceServer(
+        inferencer,
+        host=args.host,
+        port=args.port,
+        model_name=ckpt_name,
+        batch_window_ms=args.batch_window_ms,
+        max_batch_clouds=args.max_batch_clouds,
+    )
+    if args.warmup:
+        sizes = [int(s) for s in args.warmup.split(",") if s]
+        print(f"warming up bucket programs for sizes {sizes}...", file=sys.stderr)
+        server.warmup(sizes)
+    host, port = server.address
+    print(f"serving {ckpt_name} on http://{host}:{port}  "
+          f"(POST /v1/predict, GET /healthz, GET /v1/stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export a trained checkpoint to the reference's torch .pth format
     (utils/utils.py:422-438 payload) so the reference's own scripts can run it."""
@@ -645,6 +685,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write per-point softmax confidences "
                         "(<name>_probs.npy, float16)")
     s.set_defaults(fn=cmd_infer)
+
+    s = sub.add_parser("serve", help="long-lived HTTP inference server")
+    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--arch", default="attention")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8421)
+    s.add_argument("--max_clusters", type=int, default=None,
+                   help="tiling cap (default: checkpoint config)")
+    s.add_argument("--backend", choices=["xla", "folded", "bf16", "fused", "int8"],
+                   default="folded")
+    s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced")
+    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None)
+    s.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="micro-batching window for concurrent requests")
+    s.add_argument("--max_batch_clouds", type=int, default=64)
+    s.add_argument("--warmup", default="",
+                   help="comma-separated cloud sizes to pre-compile, e.g. 10000,50000")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("bench", help="single-chip throughput benchmark (bench.py)")
     s.set_defaults(fn=cmd_bench)

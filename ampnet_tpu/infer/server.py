@@ -1,0 +1,338 @@
+"""Production serving daemon: a long-lived HTTP server over ``TiledInferencer``.
+
+The reference has no serving story at all — its closest analog is re-running the
+evaluation CLI per file (``test_pointnet_att_segmen.py``), paying model load +
+k-means + compile every time. Here the model stays resident with every bucket
+program warm, and concurrent requests are micro-batched: clouds arriving within
+the batching window are predicted together through ``predict_many`` (same-bucket
+clouds share one device program call and bucket fetches pipeline).
+
+Endpoints (stdlib http.server; no third-party deps):
+
+* ``GET  /healthz``     → liveness + model info
+* ``GET  /v1/stats``    → request/point counters, latency quantiles
+* ``POST /v1/predict``  → per-point class labels for one or more clouds
+  * ``application/octet-stream``: one cloud, float32 (or float16, see
+    ``X-Dtype``) little-endian ``[N, 9]`` rows in the model feature layout
+    ``[x, y, z, I, R, G, B, NIR, NDVI]``; response is ``[N]`` int8 labels.
+  * ``application/json``: ``{"clouds": [[[f0..f8], ...], ...],
+    "probs": false, "normalize": false}``; response
+    ``{"labels": [[...], ...], "probs": [[[...], ...]]?}``.
+    ``normalize=true`` applies the x/y → [-1, 1] rescale (schema
+    ``normalize_xy_neg_one``) server-side for raw 13-column-derived features.
+
+Run: ``ampnet serve --model_checkpoint ... [--port 8421] [--backend folded]``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ServingStats:
+    """Thread-safe counters + latency reservoir."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.clouds = 0
+        self.points = 0
+        self.errors = 0
+        self.started = time.time()
+        self._lat: List[float] = []  # bounded reservoir of recent latencies
+
+    def record(self, n_clouds: int, n_points: int, latency_s: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.clouds += n_clouds
+            self.points += n_points
+            self._lat.append(latency_s)
+            if len(self._lat) > 1024:
+                self._lat = self._lat[-512:]
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            q = lambda p: (lat[int(p * (len(lat) - 1))] if lat else None)
+            dt = time.time() - self.started
+            return {
+                "uptime_s": round(dt, 1),
+                "requests": self.requests,
+                "clouds": self.clouds,
+                "points": self.points,
+                "errors": self.errors,
+                "points_per_sec_lifetime": round(self.points / dt, 1) if dt else 0.0,
+                "latency_s": {
+                    "p50": q(0.50),
+                    "p90": q(0.90),
+                    "p99": q(0.99),
+                },
+            }
+
+
+class _Job:
+    __slots__ = ("clouds", "probs", "event", "result", "error")
+
+    def __init__(self, clouds: List[np.ndarray], probs: bool):
+        self.clouds = clouds
+        self.probs = probs
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class PredictionService:
+    """Micro-batching front of a ``TiledInferencer``.
+
+    Handler threads enqueue jobs; one worker drains everything that arrived
+    within ``batch_window_ms`` (up to ``max_batch_clouds``) and serves it with
+    a single ``predict_many`` call — concurrent clients share device programs
+    instead of serializing round-trips."""
+
+    def __init__(
+        self,
+        inferencer,
+        batch_window_ms: float = 5.0,
+        max_batch_clouds: int = 64,
+    ):
+        self.inferencer = inferencer
+        self.batch_window_s = batch_window_ms / 1e3
+        self.max_batch_clouds = max_batch_clouds
+        self.stats = ServingStats()
+        self._q: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    def predict(self, clouds: List[np.ndarray], probs: bool = False):
+        """Blocking predict for one request's clouds; thread-safe."""
+        t0 = time.time()
+        job = _Job(clouds, probs)
+        self._q.put(job)
+        job.event.wait()
+        if job.error is not None:
+            self.stats.record_error()
+            raise job.error
+        self.stats.record(len(clouds), sum(c.shape[0] for c in clouds), time.time() - t0)
+        return job.result
+
+    # -- worker --------------------------------------------------------------
+    def _drain(self) -> List[_Job]:
+        job = self._q.get()
+        if job is None:
+            return []
+        jobs, n = [job], len(job.clouds)
+        deadline = time.time() + self.batch_window_s
+        while n < self.max_batch_clouds:
+            timeout = deadline - time.time()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            jobs.append(nxt)
+            n += len(nxt.clouds)
+        return jobs
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            jobs = self._drain()
+            if not jobs:
+                continue
+            # probs-vs-labels programs differ; serve each group in one call
+            for want_probs in (False, True):
+                group = [j for j in jobs if j.probs == want_probs]
+                if not group:
+                    continue
+                clouds = [c for j in group for c in j.clouds]
+                try:
+                    # fixed per-cloud seed: a response must not depend on which
+                    # other requests happened to share its micro-batch
+                    outs = self.inferencer.predict_many(
+                        clouds, seeds=[0] * len(clouds), return_probs=want_probs
+                    )
+                    i = 0
+                    for j in group:
+                        j.result = outs[i : i + len(j.clouds)]
+                        i += len(j.clouds)
+                except Exception as e:
+                    for j in group:
+                        j.error = e
+                finally:
+                    for j in group:
+                        j.event.set()
+
+
+def _feature_count(service: PredictionService) -> int:
+    return service.inferencer.cfg.data.num_features
+
+
+def make_handler(service: PredictionService, model_name: str):
+    n_feat = _feature_count(service)
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; errors still reach stderr via log_error
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": model_name,
+                        "n_points": service.inferencer.n_points,
+                        "max_clusters": service.inferencer.max_clusters,
+                        "backend": getattr(service.inferencer, "backend", "xla"),
+                    },
+                )
+            elif self.path == "/v1/stats":
+                self._send_json(200, service.stats.snapshot())
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                self._send_json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/json":
+                    self._handle_json(raw)
+                else:
+                    self._handle_binary(raw)
+            except BrokenPipeError:  # client went away; nothing to answer
+                service.stats.record_error()
+            except Exception as e:
+                service.stats.record_error()
+                try:
+                    self._send_json(400, {"error": str(e)})
+                except BrokenPipeError:
+                    pass
+
+        def _handle_binary(self, raw: bytes) -> None:
+            dtype = np.dtype(self.headers.get("X-Dtype", "float32"))
+            itemsize = dtype.itemsize * n_feat
+            if len(raw) == 0 or len(raw) % itemsize:
+                self._send_json(
+                    400,
+                    {"error": f"body must be [N, {n_feat}] {dtype.name} rows "
+                              f"(got {len(raw)} bytes)"},
+                )
+                return
+            pts = np.frombuffer(raw, dtype=dtype).reshape(-1, n_feat).astype(np.float32)
+            (labels,) = service.predict([pts], probs=False)
+            self._send(200, np.asarray(labels, np.int8).tobytes(), "application/octet-stream")
+
+        def _handle_json(self, raw: bytes) -> None:
+            req = json.loads(raw.decode())
+            clouds = [np.asarray(c, np.float32) for c in req.get("clouds", [])]
+            if not clouds:
+                self._send_json(400, {"error": "no clouds in request"})
+                return
+            for c in clouds:
+                if c.ndim != 2 or c.shape[1] != n_feat:
+                    self._send_json(
+                        400, {"error": f"each cloud must be [N, {n_feat}]"}
+                    )
+                    return
+            if req.get("normalize"):
+                from ampnet_tpu.data.schema import normalize_xy_neg_one
+
+                clouds = [normalize_xy_neg_one(c) for c in clouds]
+            probs = bool(req.get("probs", False))
+            outs = service.predict(clouds, probs=probs)
+            if probs:
+                body = {
+                    "labels": [np.asarray(p, int).tolist() for p, _ in outs],
+                    "probs": [np.asarray(pr, float).round(6).tolist() for _, pr in outs],
+                }
+            else:
+                body = {"labels": [np.asarray(p, int).tolist() for p in outs]}
+            self._send_json(200, body)
+
+    return Handler
+
+
+class InferenceServer:
+    """Own the HTTP server + service; usable as a context manager (tests) or
+    via ``serve_forever`` (CLI)."""
+
+    def __init__(
+        self,
+        inferencer,
+        host: str = "127.0.0.1",
+        port: int = 8421,
+        model_name: str = "ampnet",
+        batch_window_ms: float = 5.0,
+        max_batch_clouds: int = 64,
+    ):
+        self.service = PredictionService(
+            inferencer, batch_window_ms=batch_window_ms, max_batch_clouds=max_batch_clouds
+        )
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.service, model_name)
+        )
+        self.httpd.daemon_threads = True
+
+    @property
+    def address(self):
+        return self.httpd.server_address
+
+    def warmup(self, sizes: List[int]) -> None:
+        """Pre-compile bucket programs for the given cloud sizes (first-compile
+        through a remote relay is minutes; do it before taking traffic)."""
+        rng = np.random.default_rng(0)
+        n_feat = _feature_count(self.service)
+        for n in sizes:
+            pts = rng.normal(size=(int(n), n_feat)).astype(np.float32)
+            self.service.predict([pts])
+
+    def serve_forever(self) -> None:
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.service.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

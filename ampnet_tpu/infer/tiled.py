@@ -68,6 +68,7 @@ class TiledInferencer:
         if tiler not in ("balanced", "fast"):
             raise ValueError(f"unknown tiler {tiler!r}")
         self.tiler = tiler
+        self.backend = backend
         # wire format for host->device cloud transfer: 'float16' halves the
         # bytes (features are normalized, quantization noise ~1e-3); compute
         # stays fp32 on device. Matters when serving is transfer-bound (this

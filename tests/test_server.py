@@ -1,0 +1,168 @@
+"""HTTP inference server tests: routes, wire formats, micro-batching, errors."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import jax
+import numpy as np
+import pytest
+
+from ampnet_tpu.core.config import AMPNetConfig, DataConfig, ModelConfig
+from ampnet_tpu.infer.server import InferenceServer
+from ampnet_tpu.infer.tiled import TiledInferencer
+from ampnet_tpu.models.amp import AMPNetSegmenter
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64, max_clusters_test=3),
+        model=ModelConfig(dropout=0.0),
+    )
+    model = AMPNetSegmenter(cfg.model)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1, 2, 64, 9)).astype(np.float32)
+    pad = np.zeros((1, 2), bool)
+    variables = model.init(
+        jax.random.PRNGKey(0), pts, pts[:, :, :, :2].mean(axis=2), pad
+    )
+    inferencer = TiledInferencer(model, variables, cfg, n_points=64, max_clusters=3)
+    srv = InferenceServer(
+        inferencer, host="127.0.0.1", port=0, model_name="test-model",
+        batch_window_ms=20.0,
+    )
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.close()
+
+
+def _url(server, path):
+    host, port = server.address
+    return f"http://{host}:{port}{path}"
+
+
+def _post(server, path, data, headers):
+    req = urllib.request.Request(_url(server, path), data=data, headers=headers)
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["model"] == "test-model"
+    assert body["n_points"] == 64
+
+
+def test_binary_predict(server):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(150, 9)).astype(np.float32)
+    status, ctype, body = _post(
+        server, "/v1/predict", pts.tobytes(),
+        {"Content-Type": "application/octet-stream"},
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    labels = np.frombuffer(body, np.int8)
+    assert labels.shape == (150,)
+    assert set(np.unique(labels)) <= set(range(5))
+
+
+def test_binary_predict_float16_wire(server):
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(90, 9)).astype(np.float16)
+    status, _, body = _post(
+        server, "/v1/predict", pts.tobytes(),
+        {"Content-Type": "application/octet-stream", "X-Dtype": "float16"},
+    )
+    assert status == 200
+    assert np.frombuffer(body, np.int8).shape == (90,)
+
+
+def test_json_predict_multi_cloud_and_probs(server):
+    rng = np.random.default_rng(3)
+    clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (80, 120)]
+    payload = json.dumps(
+        {"clouds": [c.tolist() for c in clouds], "probs": True}
+    ).encode()
+    status, ctype, body = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200 and ctype == "application/json"
+    out = json.loads(body)
+    assert [len(l) for l in out["labels"]] == [80, 120]
+    probs = np.asarray(out["probs"][0])
+    assert probs.shape == (80, 5)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+    # labels consistent with probs argmax
+    np.testing.assert_array_equal(np.argmax(probs, axis=1), out["labels"][0])
+
+
+def test_json_normalize_flag(server):
+    rng = np.random.default_rng(4)
+    c = rng.normal(size=(70, 9)).astype(np.float32)
+    c[:, 0] = rng.uniform(0, 1, 70)  # raw [0,1] x/y
+    c[:, 1] = rng.uniform(0, 1, 70)
+    payload = json.dumps({"clouds": [c.tolist()], "normalize": True}).encode()
+    status, _, body = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200
+    assert len(json.loads(body)["labels"][0]) == 70
+
+
+def test_concurrent_requests_microbatch(server):
+    """Two clients in the same batching window both get correct answers, and
+    single-flight answers match (micro-batching is transparent)."""
+    rng = np.random.default_rng(5)
+    clouds = [rng.normal(size=(100, 9)).astype(np.float32) for _ in range(2)]
+    solo = []
+    for c in clouds:
+        _, _, body = _post(server, "/v1/predict", c.tobytes(),
+                           {"Content-Type": "application/octet-stream"})
+        solo.append(np.frombuffer(body, np.int8))
+
+    results = [None, None]
+
+    def hit(i):
+        _, _, body = _post(server, "/v1/predict", clouds[i].tobytes(),
+                           {"Content-Type": "application/octet-stream"})
+        results[i] = np.frombuffer(body, np.int8)
+
+    ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for i in range(2):
+        np.testing.assert_array_equal(results[i], solo[i])
+
+
+def test_stats(server):
+    with urllib.request.urlopen(_url(server, "/v1/stats"), timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["requests"] > 0 and s["points"] > 0 and s["errors"] >= 0
+    assert s["latency_s"]["p50"] is not None
+
+
+def test_bad_requests(server):
+    # misaligned binary body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", b"abc",
+              {"Content-Type": "application/octet-stream"})
+    assert e.value.code == 400
+    # wrong feature count
+    payload = json.dumps({"clouds": [[[1.0, 2.0]]]}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", payload, {"Content-Type": "application/json"})
+    assert e.value.code == 400
+    # empty clouds
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", json.dumps({"clouds": []}).encode(),
+              {"Content-Type": "application/json"})
+    assert e.value.code == 400
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/nope", b"", {"Content-Type": "application/json"})
+    assert e.value.code == 404

@@ -194,7 +194,11 @@ class DeviceCachedBatcher:
     def epoch_index_matrix(self):
         """Rectangular ``(idxs [S, B], pads [S, B], names)`` for a whole-epoch
         ``lax.scan`` dispatch (train/epoch.py)."""
-        batches = self._epoch_indices(pad_to=self.batch_size)
+        # rectangular width: batch_size rounded up to the pad multiple (a full
+        # batch whose size is not a multiple pads past batch_size)
+        m = max(self.pad_to_multiple, 1)
+        width = -(-self.batch_size // m) * m
+        batches = self._epoch_indices(pad_to=width)
         if not batches:
             return (
                 np.zeros((0, self.batch_size), np.int32),

@@ -23,6 +23,8 @@ from typing import Callable, Tuple
 
 import jax
 
+from ampnet_tpu.data.device_cache import gather_batch as _gather
+
 
 def _unwrap(step_fn: Callable) -> Callable:
     body = getattr(step_fn, "__wrapped__", None)
@@ -32,9 +34,6 @@ def _unwrap(step_fn: Callable) -> Callable:
             "without __wrapped__ (not produced by jax.jit)"
         )
     return body
-
-
-from ampnet_tpu.data.device_cache import gather_batch as _gather
 
 
 def make_epoch_fns(

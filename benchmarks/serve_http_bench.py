@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Sustained throughput of the HTTP serving daemon (`ampnet serve`) on one chip.
+
+Scenario mirrors benchmarks/serving_bench.py (32 clouds x 50k points) but goes
+through the full production path: binary HTTP requests from N concurrent client
+threads -> micro-batching window -> predict_many. Run the server first, e.g.::
+
+    python -m ampnet_tpu serve --model_checkpoint <ckpt> --port 8421 \
+        --backend folded --tiler fast --transfer_dtype float16 --warmup 50000
+
+    python benchmarks/serve_http_bench.py --port 8421 --clouds 32 --points 50000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8421)
+    ap.add_argument("--clouds", type=int, default=32)
+    ap.add_argument("--points", type=int, default=50_000)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--dtype", default="float16", choices=["float32", "float16"])
+    args = ap.parse_args()
+    base = f"http://{args.host}:{args.port}"
+
+    rng = np.random.default_rng(0)
+    clouds = [
+        rng.normal(size=(args.points, 9)).astype(args.dtype)
+        for _ in range(args.clouds)
+    ]
+
+    def post(cloud):
+        req = urllib.request.Request(
+            base + "/v1/predict",
+            data=cloud.tobytes(),
+            headers={
+                "Content-Type": "application/octet-stream",
+                "X-Dtype": args.dtype,
+            },
+        )
+        with urllib.request.urlopen(req, timeout=1200) as r:
+            return len(r.read())
+
+    # health + warm the bucket once
+    print(urllib.request.urlopen(base + "/healthz", timeout=60).read().decode())
+    t0 = time.time()
+    post(clouds[0])
+    print(f"warm request: {time.time() - t0:.1f}s (includes any compile)")
+
+    results = []
+    for rnd in range(args.rounds):
+        done = []
+        lock = threading.Lock()
+        work = list(clouds)
+
+        def client():
+            while True:
+                with lock:
+                    if not work:
+                        return
+                    c = work.pop()
+                n = post(c)
+                with lock:
+                    done.append(n)
+
+        t0 = time.time()
+        ts = [threading.Thread(target=client) for _ in range(args.clients)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        dt = time.time() - t0
+        pts = args.clouds * args.points
+        results.append(pts / dt)
+        print(f"round {rnd}: {dt:.2f}s  {pts / dt / 1e3:.0f}k pts/s")
+
+    stats = json.loads(urllib.request.urlopen(base + "/v1/stats", timeout=60).read())
+    print("server stats:", json.dumps(stats))
+    print(json.dumps({
+        "metric": "http_serving_throughput",
+        "value": round(max(results), 1),
+        "unit": "points/sec",
+        "clients": args.clients,
+        "scenario": f"{args.clouds}x{args.points}",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,19 @@ def test_mesh_epoch_dispatch_matches_single_device(cfg, tmp_path):
     np.testing.assert_allclose(_losses(h1), _losses(h8), rtol=1e-3)
 
 
+def test_epoch_index_matrix_pad_multiple_not_dividing_batch():
+    """pad_to_multiple that doesn't divide batch_size: full batches round UP
+    past batch_size — the matrix must still be rectangular."""
+    ds = MemoryDataset(n_items=8)
+    b = DeviceCachedBatcher(
+        PaddedBatcher(ds, 6, n_points=96, max_windows=4, prefetch=0,
+                      drop_last=False, pad_to_multiple=4)
+    )
+    idxs, pads, names = b.epoch_index_matrix()
+    assert idxs.shape == (2, 8) and pads.shape == (2, 8)  # 6 -> 8, 2 -> 8
+    assert pads[0].sum() == 2 and pads[1].sum() == 6
+
+
 def test_epoch_index_matrix_rectangular():
     ds = MemoryDataset(n_items=7)
     b = DeviceCachedBatcher(

@@ -424,12 +424,18 @@ def cmd_serve(args) -> int:
     if restored is None:
         return 1
     cfg, model, state, ckpt_name = restored
+    mesh = None
+    if args.num_devices > 1:
+        from ampnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
     inferencer = TiledInferencer(
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
         max_clusters=args.max_clusters,
         backend=args.backend,
         tiler=args.tiler,
         transfer_dtype=args.transfer_dtype,
+        mesh=mesh,
     )
     server = InferenceServer(
         inferencer,
@@ -700,6 +706,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="micro-batching window for concurrent requests")
     s.add_argument("--max_batch_clouds", type=int, default=64)
+    s.add_argument("--num_devices", type=int, default=1,
+                   help="shard the cloud batch over a device mesh (replicated "
+                        "params, zero collectives — clouds are independent)")
     s.add_argument("--warmup", default="",
                    help="comma-separated cloud sizes to pre-compile, e.g. 10000,50000")
     s.set_defaults(fn=cmd_serve)

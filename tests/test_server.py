@@ -146,6 +146,34 @@ def test_stats(server):
     assert s["latency_s"]["p50"] is not None
 
 
+def test_mesh_sharded_service():
+    """serve --num_devices N path: the service runs over a mesh-sharded
+    inferencer (cloud batch sharded, params replicated)."""
+    from ampnet_tpu.infer.server import PredictionService
+    from ampnet_tpu.parallel.mesh import make_mesh
+
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64, max_clusters_test=2),
+        model=ModelConfig(dropout=0.0),
+    )
+    model = AMPNetSegmenter(cfg.model)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1, 2, 64, 9)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), pts, pts[:, :, :, :2].mean(axis=2), np.zeros((1, 2), bool)
+    )
+    inferencer = TiledInferencer(
+        model, variables, cfg, n_points=64, max_clusters=2, mesh=make_mesh(8)
+    )
+    svc = PredictionService(inferencer, batch_window_ms=1.0)
+    try:
+        clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (90, 110, 70)]
+        outs = svc.predict(clouds)
+        assert [o.shape[0] for o in outs] == [90, 110, 70]
+    finally:
+        svc.close()
+
+
 def test_bad_requests(server):
     # misaligned binary body
     with pytest.raises(urllib.error.HTTPError) as e:

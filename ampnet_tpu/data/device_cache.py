@@ -63,21 +63,27 @@ def _single_sample_loader(batcher):
     loader.drop_last = False
     loader.pad_to_multiple = 1
     loader.prefetch = 0
-    loader._pool = None  # never share a worker pool with the wrapped batcher
+    # one-sample batches gain nothing from a worker pool (pool.map over a
+    # single index per batch) — and a copied pool would leak its processes
+    loader.workers = 0
+    loader._pool = None
     return loader
 
 
 def gather_batch(data: Dict, idx, pad_mask):
     """On-device batch gather from the cache; replicated pad entries get all
-    labels −1 (loss-ignored + attention-masked), exactly like
-    ``PaddedBatcher._pad_batch_to_multiple``. Pure, jit/scan-composable."""
+    targets −1 so the weighted-CE ignore_index and the confusion matrix drop
+    them (seg labels like ``PaddedBatcher._pad_batch_to_multiple``; cls_label
+    too — duplicated clouds must not carry classification loss/metric weight).
+    Pure, jit/scan-composable."""
     import jax.numpy as jnp
 
     out = {k: v[idx] for k, v in data.items()}
-    if "labels" in out:
-        lbl = out["labels"]
-        m = pad_mask.reshape((-1,) + (1,) * (lbl.ndim - 1))
-        out["labels"] = jnp.where(m, jnp.asarray(-1, lbl.dtype), lbl)
+    for key in ("labels", "cls_label"):
+        if key in out:
+            t = out[key]
+            m = pad_mask.reshape((-1,) + (1,) * (t.ndim - 1))
+            out[key] = jnp.where(m, jnp.asarray(-1, t.dtype), t)
     return out
 
 

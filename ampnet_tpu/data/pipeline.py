@@ -126,9 +126,10 @@ class PaddedBatcher:
         pad_lbl = np.full_like(batch["labels"][idx], -1)
         out["labels"] = np.concatenate([batch["labels"], pad_lbl], axis=0)
         if "cls_label" in batch:
-            out["cls_label"] = np.concatenate(
-                [batch["cls_label"], batch["cls_label"][idx]], axis=0
-            )
+            # padded clouds carry no classification loss/metric weight either
+            # (weighted CE ignore_index + confusion both drop −1 targets)
+            pad_cls = np.full_like(batch["cls_label"][idx], -1)
+            out["cls_label"] = np.concatenate([batch["cls_label"], pad_cls], axis=0)
         out["names"] = batch["names"] + [f"<pad:{batch['names'][i]}>" for i in idx]
         return out
 

@@ -32,6 +32,10 @@ def evaluate_classification(
     preds = np.concatenate(preds_all)
     targets = np.concatenate(targets_all)
     probs = np.concatenate(probs_all)
+    # drop replicate-padded entries (cls_label −1, batch-divisibility padding)
+    valid = targets >= 0
+    names_all = [n for n, v in zip(names_all, valid) if v]
+    preds, targets, probs = preds[valid], targets[valid], probs[valid]
 
     cm = np.zeros((2, 2))
     for t, p in zip(targets, preds):

@@ -121,20 +121,29 @@ class PredictionService:
         self._worker.join(timeout=5)
 
     def predict(self, clouds: List[np.ndarray], probs: bool = False):
-        """Blocking predict for one request's clouds; thread-safe."""
+        """Blocking predict for one request's clouds; thread-safe. Error
+        accounting lives in the HTTP handler (the single recorder) so a failed
+        prediction is counted exactly once."""
+        if self._stop.is_set():
+            raise RuntimeError("PredictionService is closed")
         t0 = time.time()
         job = _Job(clouds, probs)
         self._q.put(job)
         job.event.wait()
         if job.error is not None:
-            self.stats.record_error()
             raise job.error
         self.stats.record(len(clouds), sum(c.shape[0] for c in clouds), time.time() - t0)
         return job.result
 
     # -- worker --------------------------------------------------------------
-    def _drain(self) -> List[_Job]:
-        job = self._q.get()
+    def _drain(self, block: bool) -> List[_Job]:
+        """Everything that arrives within the batching window. ``block=False``
+        (a previous batch is still in flight on device) waits at most one
+        window for the first job so the in-flight batch gets fetched promptly."""
+        try:
+            job = self._q.get() if block else self._q.get(timeout=self.batch_window_s)
+        except queue.Empty:
+            return []
         if job is None:
             return []
         jobs, n = [job], len(job.clouds)
@@ -153,33 +162,72 @@ class PredictionService:
             n += len(nxt.clouds)
         return jobs
 
-    def _run(self) -> None:
-        while not self._stop.is_set():
-            jobs = self._drain()
-            if not jobs:
+    def _dispatch(self, jobs: List[_Job]):
+        """Enqueue this batch's device work; return (group, handle) pairs."""
+        dispatched = []
+        # probs-vs-labels programs differ; serve each group in one call
+        for want_probs in (False, True):
+            group = [j for j in jobs if j.probs == want_probs]
+            if not group:
                 continue
-            # probs-vs-labels programs differ; serve each group in one call
-            for want_probs in (False, True):
-                group = [j for j in jobs if j.probs == want_probs]
-                if not group:
-                    continue
-                clouds = [c for j in group for c in j.clouds]
-                try:
-                    # fixed per-cloud seed: a response must not depend on which
-                    # other requests happened to share its micro-batch
-                    outs = self.inferencer.predict_many(
-                        clouds, seeds=[0] * len(clouds), return_probs=want_probs
-                    )
-                    i = 0
-                    for j in group:
-                        j.result = outs[i : i + len(j.clouds)]
-                        i += len(j.clouds)
-                except Exception as e:
-                    for j in group:
-                        j.error = e
-                finally:
-                    for j in group:
+            clouds = [c for j in group for c in j.clouds]
+            try:
+                # fixed per-cloud seed: a response must not depend on which
+                # other requests happened to share its micro-batch
+                handle = self.inferencer.dispatch_many(
+                    clouds, seeds=[0] * len(clouds), return_probs=want_probs
+                )
+                dispatched.append((group, handle))
+            except Exception as e:
+                for j in group:
+                    j.error = e
+                    j.event.set()
+        return dispatched
+
+    def _complete(self, dispatched) -> None:
+        for group, handle in dispatched:
+            try:
+                outs = self.inferencer.fetch_many(handle)
+                i = 0
+                for j in group:
+                    j.result = outs[i : i + len(j.clouds)]
+                    i += len(j.clouds)
+            except Exception as e:
+                for j in group:
+                    j.error = e
+            finally:
+                for j in group:
+                    j.event.set()
+
+    def _run(self) -> None:
+        # one batch in flight ahead of the fetch: batch k's result transfer
+        # overlaps batch k+1's host prep + upload + compute on device
+        in_flight = []
+        while True:
+            if self._stop.is_set() and not in_flight:
+                break
+            jobs = []
+            try:
+                jobs = self._drain(block=not in_flight and not self._stop.is_set())
+                dispatched = self._dispatch(jobs) if jobs else []
+                self._complete(in_flight)
+                in_flight = dispatched
+            except BaseException as e:  # keep the worker alive: a dead worker
+                # would hang every future request on an unset event
+                for j in jobs + [j for g, _ in in_flight for j in g]:
+                    if not j.event.is_set():
+                        j.error = j.error or RuntimeError(f"serving worker error: {e!r}")
                         j.event.set()
+                in_flight = []
+        # fail anything that raced into the queue during shutdown
+        while True:
+            try:
+                j = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if j is not None and not j.event.is_set():
+                j.error = RuntimeError("PredictionService is closed")
+                j.event.set()
 
 
 def _feature_count(service: PredictionService) -> int:
@@ -313,12 +361,14 @@ class InferenceServer:
 
     def warmup(self, sizes: List[int]) -> None:
         """Pre-compile bucket programs for the given cloud sizes (first-compile
-        through a remote relay is minutes; do it before taking traffic)."""
+        through a remote relay is minutes; do it before taking traffic).
+        Goes straight to the inferencer so compile time never pollutes the
+        /v1/stats request counters and latency quantiles."""
         rng = np.random.default_rng(0)
         n_feat = _feature_count(self.service)
         for n in sizes:
             pts = rng.normal(size=(int(n), n_feat)).astype(np.float32)
-            self.service.predict([pts])
+            self.service.inferencer.predict_many([pts], seeds=[0])
 
     def serve_forever(self) -> None:
         try:

@@ -214,6 +214,15 @@ class TiledInferencer:
         """Predictions for a list of [N_i, 9] clouds, batching same-bucket clouds
         into single device calls (serving path: dispatch overhead amortizes).
         With ``return_probs`` every entry is ``(preds, probs)``."""
+        return self.fetch_many(self.dispatch_many(clouds, seeds, return_probs))
+
+    def dispatch_many(self, clouds, seeds=None, return_probs: bool = False) -> dict:
+        """Async half of ``predict_many``: upload + enqueue every bucket program
+        and return a pending handle immediately (device execution is async).
+        ``fetch_many`` completes it. Lets a serving loop overlap one batch's
+        result fetch with the next batch's host prep + upload + compute
+        (infer/server.py). Mega-clouds that take the synchronous spatial-halving
+        path are resolved eagerly into the handle."""
         seeds = seeds or list(range(len(clouds)))
         results = [None] * len(clouds)
         buckets: Dict[tuple, list] = {}
@@ -252,16 +261,27 @@ class TiledInferencer:
                 + [jax.random.PRNGKey(0)] * (b_pad - b)
             )
             pending.append((idxs, run(self.variables, batch, keys)))
-        for idxs, out in pending:
-            if return_probs:
+        return {
+            "results": results,
+            "pending": pending,
+            "sizes": {i: prepped[i][1] for i in prepped},
+            "return_probs": return_probs,
+        }
+
+    def fetch_many(self, handle: dict) -> list:
+        """Blocking half of ``predict_many``: pull every pending bucket's
+        results to the host and slice off the replicate padding."""
+        results, sizes = handle["results"], handle["sizes"]
+        for idxs, out in handle["pending"]:
+            if handle["return_probs"]:
                 flat, pflat = np.asarray(out[0]), np.asarray(out[1])
                 for row, i in enumerate(idxs):
-                    n_i = prepped[i][1]
+                    n_i = sizes[i]
                     results[i] = (flat[row, :n_i].astype(np.int32), pflat[row, :n_i])
             else:
                 flat = np.asarray(out)
                 for row, i in enumerate(idxs):
-                    results[i] = flat[row, : prepped[i][1]].astype(np.int32)
+                    results[i] = flat[row, : sizes[i]].astype(np.int32)
         return results
 
 

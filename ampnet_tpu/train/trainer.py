@@ -144,8 +144,11 @@ class Trainer:
 
         if self.epoch_dispatch == "off" or not isinstance(data, DeviceCachedBatcher):
             return False
-        step = self.train_step  # cls-step injection replaces both fns alike
-        return hasattr(step, "__wrapped__")
+        # both bodies must be unwrappable (cls-step injection replaces both;
+        # a caller swapping in a non-jitted fn falls back to the per-step path)
+        return hasattr(self.train_step, "__wrapped__") and hasattr(
+            self.eval_step, "__wrapped__"
+        )
 
     def _run_epoch_fused(self, data, train: bool) -> Dict:
         """One lax.scan program call for the whole epoch (train/epoch.py)."""
@@ -207,12 +210,15 @@ class Trainer:
             # prints wall-clock deltas, train_pointnet-attention.py:334)
             wall = time.time() - t_ep
             tm["epoch_seconds"] = wall
-            n_windows = (
-                len(self.train_data)
-                * self.train_data.batch_size
-                * getattr(self.train_data, "max_windows", 1)
+            td = self.train_data
+            n_clouds = len(td) * td.batch_size
+            source = getattr(td, "names", None) or getattr(td, "dataset", None)
+            if not td.drop_last and source is not None:
+                # the last batch may be ragged — count real samples only
+                n_clouds = min(n_clouds, len(source))
+            tm["windows_per_sec"] = (
+                n_clouds * getattr(td, "max_windows", 1) / max(wall, 1e-9)
             )
-            tm["windows_per_sec"] = n_windows / max(wall, 1e-9)
             self.log_train.scalars(tm, epoch)
             history["train"].append(tm)
 

@@ -20,6 +20,7 @@ reused across every cloud that tiles to ``k`` clusters.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -242,7 +243,7 @@ class TiledInferencer:
         # dispatch every bucket before fetching any result: execution is async,
         # so bucket i's device→host result transfer overlaps bucket i+1's
         # upload + compute instead of serializing the pipeline
-        pending = []
+        calls = []
         for (k, cap), idxs in buckets.items():
             run = self._bucket_fn(k, cap, probs=return_probs)
             rows = np.stack([prepped[i][0] for i in idxs])
@@ -255,12 +256,27 @@ class TiledInferencer:
                 b_pad = -(-b_pad // nd) * nd
             if b_pad > b:
                 rows = np.concatenate([rows, np.repeat(rows[:1], b_pad - b, axis=0)])
+            keys = [jax.random.PRNGKey(seeds[i]) for i in idxs] + [
+                jax.random.PRNGKey(0)
+            ] * (b_pad - b)
+            calls.append((idxs, run, rows, keys))
+
+        def launch(call):
+            _, run, rows, keys = call
             batch = jnp.asarray(rows.astype(self.transfer_dtype))
-            keys = jnp.stack(
-                [jax.random.PRNGKey(seeds[i]) for i in idxs]
-                + [jax.random.PRNGKey(0)] * (b_pad - b)
-            )
-            pending.append((idxs, run(self.variables, batch, keys)))
+            return run(self.variables, batch, jnp.stack(keys))
+
+        if len(calls) > 1 and not os.environ.get("AMPNET_SERIAL_DISPATCH"):
+            # overlap per-bucket host→device uploads AND first-call compiles
+            # across threads — a cold multi-bucket sweep otherwise serializes
+            # its (minutes-long on a remote-relay toolchain) compiles
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(calls), 8)) as ex:
+                outs = list(ex.map(launch, calls))
+        else:
+            outs = [launch(c) for c in calls]
+        pending = [(c[0], out) for c, out in zip(calls, outs)]
         return {
             "results": results,
             "pending": pending,

@@ -332,7 +332,7 @@ def cmd_test(args) -> int:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     backend = getattr(args, "backend", "xla")
     if backend != "xla" and cfg.model.context != "attention":
-        print("fused/int8 backends support the attention segmenter only", file=sys.stderr)
+        print("non-xla backends (folded/bf16/fused/int8) support the attention segmenter only; use --backend xla", file=sys.stderr)
         return 1
     inferencer = TiledInferencer(
         model, variables, cfg, max_clusters=args.max_clusters, backend=backend,

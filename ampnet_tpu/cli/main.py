@@ -334,8 +334,15 @@ def cmd_test(args) -> int:
     if backend != "xla" and cfg.model.context != "attention":
         print("non-xla backends (folded/bf16/fused/int8) support the attention segmenter only; use --backend xla", file=sys.stderr)
         return 1
+    # windowed models tile; baseline/classic/pointnet2 evaluate the WHOLE cloud
+    # (the reference baseline tester feeds the full variable-N cloud batch-1,
+    # test_segmentation.py — a single capacity-ladder bucket reproduces that
+    # under static shapes: k=1, replicate-padding, duplicates dropped on output)
+    max_clusters = (
+        args.max_clusters if cfg.model.context in ("attention", "gru") else 1
+    )
     inferencer = TiledInferencer(
-        model, variables, cfg, max_clusters=args.max_clusters, backend=backend,
+        model, variables, cfg, max_clusters=max_clusters, backend=backend,
         tiler=getattr(args, "tiler", "balanced"),
         transfer_dtype=getattr(args, "transfer_dtype", None),
     )
@@ -360,6 +367,8 @@ def cmd_infer(args) -> int:
     cfg, model, state, ckpt_name = restored
     inferencer = TiledInferencer(
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        # whole-cloud evaluation for non-windowed archs (see cmd_test)
+        max_clusters=None if cfg.model.context in ("attention", "gru") else 1,
         backend=getattr(args, "backend", "xla"),
         tiler=getattr(args, "tiler", "balanced"),
         transfer_dtype=getattr(args, "transfer_dtype", None),

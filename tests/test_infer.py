@@ -250,3 +250,35 @@ def test_mesh_sharded_serving_matches_single_device(inferencer):
     multi = sharded.predict_many(clouds)
     for a, b in zip(single, multi):
         np.testing.assert_array_equal(a, b)
+
+
+def test_whole_cloud_eval_for_single_window_models():
+    """Non-windowed archs (baseline/classic/pointnet2) evaluate the WHOLE cloud
+    (reference baseline tester semantics, test_segmentation.py batch-1 full
+    cloud): max_clusters=1 gives one capacity-ladder bucket whose predictions
+    equal a direct forward on the replicate-padded cloud."""
+    import jax.numpy as jnp
+
+    from ampnet_tpu.models.factory import build_model
+
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64, max_clusters_test=1),
+        model=ModelConfig(context="classic", dropout=0.0),
+    )
+    model = build_model(cfg, "classic", "segmentation")
+    rng = np.random.default_rng(0)
+    pts0 = rng.normal(size=(1, 1, 64, 9)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), pts0, None, None)
+    inf = TiledInferencer(model, variables, cfg, n_points=64, max_clusters=1)
+
+    cloud, _ = make_cloud(rng, 300)
+    preds = inf.predict(cloud, seed=0)
+    assert preds.shape == (300,)
+
+    # manual whole-cloud forward on the same replicate padding
+    cap = inf._cap_for(300, 1)
+    dup = np.random.default_rng(0).integers(0, 300, cap - 300)
+    padded = np.concatenate([cloud, cloud[dup]])[None, None]  # [1, 1, cap, 9]
+    logits, _, _ = model.apply(variables, jnp.asarray(padded), None, None, train=False)
+    manual = np.asarray(jnp.argmax(logits, -1))[0, 0, :300]
+    np.testing.assert_array_equal(preds, manual)

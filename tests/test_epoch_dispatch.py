@@ -87,6 +87,22 @@ def test_mesh_epoch_dispatch_matches_single_device(cfg, tmp_path):
     np.testing.assert_allclose(_losses(h1), _losses(h8), rtol=1e-3)
 
 
+def test_resume_continues_under_epoch_dispatch(cfg, tmp_path):
+    """Checkpoint resume works with the fused epoch path: counters restore,
+    training continues, and the step counter keeps advancing (augmentation RNG
+    and LR schedule key off state.step)."""
+    t1 = _mk_trainer(cfg, str(tmp_path), "auto")
+    t1.fit(2)
+    step_after_2 = int(np.asarray(t1.state.step))
+    t2 = _mk_trainer(cfg, str(tmp_path), "auto")
+    assert t2.resume()
+    assert t2.epoch == int(np.asarray(t2.state.epoch))
+    h = t2.fit(4)  # continues from the restored epoch
+    assert len(h["train"]) >= 1
+    assert int(np.asarray(t2.state.step)) > step_after_2 - 4  # kept advancing
+    assert all(np.isfinite(m["loss"]) for m in h["train"])
+
+
 def test_epoch_index_matrix_pad_multiple_not_dividing_batch():
     """pad_to_multiple that doesn't divide batch_size: full batches round UP
     past batch_size — the matrix must still be rectangular."""

@@ -427,25 +427,34 @@ def cmd_serve(args) -> int:
     bucket programs, micro-batched concurrent requests. The reference's only
     'serving' is re-running its evaluation CLI per file."""
     from ampnet_tpu.infer.server import InferenceServer
-    from ampnet_tpu.infer.tiled import TiledInferencer
 
-    restored = _restore_model(args, "segmentation")
+    task = getattr(args, "task", "segmentation")
+    restored = _restore_model(args, task)
     if restored is None:
         return 1
     cfg, model, state, ckpt_name = restored
-    mesh = None
-    if args.num_devices > 1:
-        from ampnet_tpu.parallel.mesh import make_mesh
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if task == "classification":
+        # per-cloud tower classification: same daemon, CloudClassifier engine
+        from ampnet_tpu.infer.classify import CloudClassifier
 
-        mesh = make_mesh(args.num_devices)
-    inferencer = TiledInferencer(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
-        max_clusters=args.max_clusters,
-        backend=args.backend,
-        tiler=args.tiler,
-        transfer_dtype=args.transfer_dtype,
-        mesh=mesh,
-    )
+        inferencer = CloudClassifier(model, variables, cfg)
+    else:
+        from ampnet_tpu.infer.tiled import TiledInferencer
+
+        mesh = None
+        if args.num_devices > 1:
+            from ampnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.num_devices)
+        inferencer = TiledInferencer(
+            model, variables, cfg,
+            max_clusters=args.max_clusters,
+            backend=args.backend,
+            tiler=args.tiler,
+            transfer_dtype=args.transfer_dtype,
+            mesh=mesh,
+        )
     server = InferenceServer(
         inferencer,
         host=args.host,
@@ -704,6 +713,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("serve", help="long-lived HTTP inference server")
     s.add_argument("--model_checkpoint", required=True)
     s.add_argument("--arch", default="attention")
+    s.add_argument("--task", choices=["segmentation", "classification"],
+                   default="segmentation",
+                   help="segmentation: per-point labels; classification: one "
+                        "tower/no-tower label (+probs) per cloud")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8421)
     s.add_argument("--max_clusters", type=int, default=None,

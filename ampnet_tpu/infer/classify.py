@@ -65,3 +65,70 @@ def evaluate_classification(
             {"model": model_name, **{k: v for k, v in out.items()}},
         )
     return out
+
+
+class CloudClassifier:
+    """Serving engine for the binary tower-classification task: one label (+
+    class probabilities) per cloud of any size. Exposes the same
+    ``dispatch_many``/``fetch_many``/``predict_many`` interface as
+    ``TiledInferencer`` so the HTTP daemon's micro-batching service
+    (infer/server.py) drives either task unchanged.
+
+    Each cloud is resampled to the model's ``n_points`` (random with/without
+    replacement — the reference's LidarDataset path, datasets.py:80-89),
+    batched to a power of two, and classified in one forward."""
+
+    def __init__(self, model, variables, cfg, n_points: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.n_points = n_points or cfg.data.n_points
+        self.max_clusters = 1  # healthz parity with the segmentation engine
+        self.backend = "xla"
+
+        def run(variables, points):  # [B, n_points, F] -> (labels [B], probs [B, C])
+            windows = points[:, None]  # one window per cloud
+            centroids = windows[..., :2].mean(axis=2)  # for attention classifiers
+            logits, _, _ = model.apply(variables, windows, centroids, None, train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int8), probs.astype(jnp.float16)
+
+        self._run = jax.jit(run)
+
+    def _resample(self, pc: np.ndarray, seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        n = pc.shape[0]
+        if n < self.n_points:
+            idx = rng.integers(0, n, self.n_points)
+        elif n > self.n_points:
+            idx = rng.permutation(n)[: self.n_points]
+        else:
+            return pc
+        return pc[idx]
+
+    def dispatch_many(self, clouds, seeds=None, return_probs: bool = False) -> Dict:
+        import jax.numpy as jnp
+
+        seeds = seeds or list(range(len(clouds)))
+        rows = np.stack(
+            [self._resample(np.asarray(c, np.float32), s) for c, s in zip(clouds, seeds)]
+        )
+        b = len(clouds)
+        b_pad = 1 << (b - 1).bit_length()
+        if b_pad > b:
+            rows = np.concatenate([rows, np.repeat(rows[:1], b_pad - b, axis=0)])
+        out = self._run(self.variables, jnp.asarray(rows))
+        return {"out": out, "n": b, "return_probs": return_probs}
+
+    def fetch_many(self, handle: Dict) -> list:
+        labels, probs = (np.asarray(a) for a in handle["out"])
+        n = handle["n"]
+        if handle["return_probs"]:
+            return [(labels[i : i + 1].astype(np.int32), probs[i]) for i in range(n)]
+        return [labels[i : i + 1].astype(np.int32) for i in range(n)]
+
+    def predict_many(self, clouds, seeds=None, return_probs: bool = False) -> list:
+        return self.fetch_many(self.dispatch_many(clouds, seeds, return_probs))

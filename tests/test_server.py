@@ -174,6 +174,40 @@ def test_mesh_sharded_service():
         svc.close()
 
 
+def test_classification_service():
+    """serve --task classification: CloudClassifier behind the same service —
+    one label + class probabilities per cloud."""
+    from ampnet_tpu.infer.classify import CloudClassifier
+    from ampnet_tpu.infer.server import PredictionService
+    from ampnet_tpu.models.factory import build_model
+
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64), model=ModelConfig(context="baseline", dropout=0.0)
+    )
+    model = build_model(cfg, "baseline", "classification")
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1, 1, 64, 9)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), pts, None, None)
+    clf = CloudClassifier(model, variables, cfg, n_points=64)
+    svc = PredictionService(clf, batch_window_ms=1.0)
+    try:
+        clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (50, 120, 64)]
+        outs = svc.predict(clouds)
+        assert [o.shape for o in outs] == [(1,), (1,), (1,)]
+        assert all(int(o[0]) in (0, 1) for o in outs)
+        outs_p = svc.predict(clouds, probs=True)
+        for label, probs in outs_p:
+            assert probs.shape == (2,)
+            np.testing.assert_allclose(float(probs.sum()), 1.0, atol=1e-2)
+            assert int(np.argmax(probs)) == int(label[0])
+        # deterministic across calls
+        again = svc.predict(clouds)
+        for a, b in zip(outs, again):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        svc.close()
+
+
 def test_bad_requests(server):
     # misaligned binary body
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -284,7 +284,16 @@ def _restore_model(args, task: str):
         print(f"checkpoint not found: {args.model_checkpoint}", file=sys.stderr)
         return None
     meta = mgr.load_meta(ckpt_name)
-    cfg = AMPNetConfig.from_json(json.dumps(meta["config"])) if meta.get("config") else AMPNetConfig()
+    if meta.get("config"):
+        cfg = AMPNetConfig.from_json(json.dumps(meta["config"]))
+    else:
+        # no recorded config: derive the context from --arch so downstream
+        # gates (whole-cloud eval, backend support) agree with the built model
+        from ampnet_tpu.core.config import ModelConfig
+
+        cfg = AMPNetConfig(model=ModelConfig(
+            context="attention" if args.arch == "attention" else args.arch
+        ))
     model = build_model(cfg, args.arch, task)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
@@ -438,10 +447,32 @@ def cmd_serve(args) -> int:
         # per-cloud tower classification: same daemon, CloudClassifier engine
         from ampnet_tpu.infer.classify import CloudClassifier
 
+        ignored = [
+            f for f, default in (
+                ("backend", "folded"), ("tiler", "balanced"),
+                ("transfer_dtype", None), ("max_clusters", None), ("num_devices", 1),
+            )
+            if getattr(args, f) != default
+        ]
+        if ignored:
+            print(f"--task classification ignores: {', '.join('--' + f for f in ignored)}",
+                  file=sys.stderr)
         inferencer = CloudClassifier(model, variables, cfg)
     else:
         from ampnet_tpu.infer.tiled import TiledInferencer
 
+        windowed = cfg.model.context in ("attention", "gru")
+        backend = args.backend
+        if backend not in ("xla", "folded") and not windowed:
+            print("non-xla backends (folded/bf16/fused/int8) support the attention "
+                  "segmenter only; use --backend xla", file=sys.stderr)
+            return 1
+        if backend == "folded" and cfg.model.context != "attention":
+            # the default backend downgrades gracefully for non-attention models
+            # (the folded head evaluates attention params)
+            print(f"backend 'folded' is attention-only; serving the "
+                  f"{cfg.model.context} model with 'xla'", file=sys.stderr)
+            backend = "xla"
         mesh = None
         if args.num_devices > 1:
             from ampnet_tpu.parallel.mesh import make_mesh
@@ -449,8 +480,9 @@ def cmd_serve(args) -> int:
             mesh = make_mesh(args.num_devices)
         inferencer = TiledInferencer(
             model, variables, cfg,
-            max_clusters=args.max_clusters,
-            backend=args.backend,
+            # whole-cloud evaluation for non-windowed archs (see cmd_test)
+            max_clusters=args.max_clusters if windowed else 1,
+            backend=backend,
             tiler=args.tiler,
             transfer_dtype=args.transfer_dtype,
             mesh=mesh,

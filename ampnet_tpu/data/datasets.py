@@ -25,6 +25,19 @@ from ampnet_tpu.data import schema as S
 from ampnet_tpu.data.io_utils import load_cloud
 
 
+def resample_points(pc: np.ndarray, n_points: int, rng: np.random.Generator) -> np.ndarray:
+    """Fixed-size point resampling with the reference LidarDataset semantics
+    (datasets.py:80-89): sample WITHOUT replacement above ``n_points``; below it
+    keep every original point and append random duplicates."""
+    n = pc.shape[0]
+    if n > n_points:
+        return pc[rng.choice(n, n_points, replace=False)]
+    if n < n_points:
+        extra = rng.integers(0, n, n_points - n)
+        return np.concatenate([pc, pc[extra]], axis=0)
+    return pc
+
+
 class WindowedCloudDataset:
     """Pre-tiled clouds ``[N, dims, W]`` (the offline k-means artifacts).
 
@@ -121,16 +134,9 @@ class CloudDataset:
         return len(self.paths)
 
     def _resample(self, pc: np.ndarray) -> np.ndarray:
-        n = pc.shape[0]
         if not self.fixed_num_points:
             return pc
-        if n > self.n_points:
-            idx = self.rng.choice(n, self.n_points, replace=False)
-            return pc[idx]
-        if n < self.n_points:
-            extra = self.rng.integers(0, n, self.n_points - n)
-            return np.concatenate([pc, pc[extra]], axis=0)
-        return pc
+        return resample_points(pc, self.n_points, self.rng)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pc = load_cloud(self.paths[index])  # [N, >=10]

@@ -74,9 +74,12 @@ class CloudClassifier:
     ``TiledInferencer`` so the HTTP daemon's micro-batching service
     (infer/server.py) drives either task unchanged.
 
-    Each cloud is resampled to the model's ``n_points`` (random with/without
-    replacement — the reference's LidarDataset path, datasets.py:80-89),
-    batched to a power of two, and classified in one forward."""
+    Each cloud is resampled to the model's ``n_points`` (shared
+    ``data.datasets.resample_points``, the reference LidarDataset semantics),
+    presented as one real window replicate-padded to the checkpoint's
+    ``max_windows`` (the training collate shape — windowed classifier heads
+    size their window-mixing kernel to it, models/amp.py), and classified in
+    one power-of-two-batched forward."""
 
     def __init__(self, model, variables, cfg, n_points: Optional[int] = None):
         import jax
@@ -88,26 +91,27 @@ class CloudClassifier:
         self.n_points = n_points or cfg.data.n_points
         self.max_clusters = 1  # healthz parity with the segmentation engine
         self.backend = "xla"
+        n_windows = cfg.data.max_windows
 
         def run(variables, points):  # [B, n_points, F] -> (labels [B], probs [B, C])
-            windows = points[:, None]  # one window per cloud
-            centroids = windows[..., :2].mean(axis=2)  # for attention classifiers
-            logits, _, _ = model.apply(variables, windows, centroids, None, train=False)
+            # one real window replicated to the training window count; the
+            # replicas are attention-masked (pad mask), exactly like the
+            # collate's replicate padding of a single-window cloud
+            windows = jnp.repeat(points[:, None], n_windows, axis=1)
+            centroids = windows[..., :2].mean(axis=2)
+            pad = jnp.broadcast_to(
+                jnp.arange(n_windows)[None] > 0, (points.shape[0], n_windows)
+            )
+            logits, _, _ = model.apply(variables, windows, centroids, pad, train=False)
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.argmax(logits, axis=-1).astype(jnp.int8), probs.astype(jnp.float16)
 
         self._run = jax.jit(run)
 
     def _resample(self, pc: np.ndarray, seed: int) -> np.ndarray:
-        rng = np.random.default_rng(seed)
-        n = pc.shape[0]
-        if n < self.n_points:
-            idx = rng.integers(0, n, self.n_points)
-        elif n > self.n_points:
-            idx = rng.permutation(n)[: self.n_points]
-        else:
-            return pc
-        return pc[idx]
+        from ampnet_tpu.data.datasets import resample_points
+
+        return resample_points(pc, self.n_points, np.random.default_rng(seed))
 
     def dispatch_many(self, clouds, seeds=None, return_probs: bool = False) -> Dict:
         import jax.numpy as jnp

@@ -99,7 +99,9 @@ def test_resume_continues_under_epoch_dispatch(cfg, tmp_path):
     assert t2.epoch == int(np.asarray(t2.state.epoch))
     h = t2.fit(4)  # continues from the restored epoch
     assert len(h["train"]) >= 1
-    assert int(np.asarray(t2.state.step)) > step_after_2 - 4  # kept advancing
+    # steps continue strictly PAST the pre-resume count (a silent counter
+    # reset would break the augmentation RNG and LR schedule)
+    assert int(np.asarray(t2.state.step)) > step_after_2
     assert all(np.isfinite(m["loss"]) for m in h["train"])
 
 

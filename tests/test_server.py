@@ -208,6 +208,31 @@ def test_classification_service():
         svc.close()
 
 
+def test_classification_service_attention_arch():
+    """Windowed classifiers (attention) serve too: the head's window-mixing
+    kernel is sized to the training max_windows, so the engine must present
+    that window count (one real window, replicas attention-masked)."""
+    from ampnet_tpu.infer.classify import CloudClassifier
+    from ampnet_tpu.models.factory import build_model
+
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64, max_windows=3),
+        model=ModelConfig(context="attention", dropout=0.0),
+    )
+    model = build_model(cfg, "attention", "classification")
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(1, 3, 64, 9)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), pts, pts[..., :2].mean(axis=2), np.zeros((1, 3), bool)
+    )
+    clf = CloudClassifier(model, variables, cfg, n_points=64)
+    outs = clf.predict_many([rng.normal(size=(100, 9)).astype(np.float32)],
+                            return_probs=True)
+    label, probs = outs[0]
+    assert label.shape == (1,) and probs.shape == (2,)
+    assert int(np.argmax(probs)) == int(label[0])
+
+
 def test_bad_requests(server):
     # misaligned binary body
     with pytest.raises(urllib.error.HTTPError) as e:

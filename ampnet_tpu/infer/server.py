@@ -238,6 +238,10 @@ def make_handler(service: PredictionService, model_name: str):
     n_feat = _feature_count(service)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: persistent connections (every response carries an exact
+        # Content-Length, so keep-alive is safe); stdlib defaults to 1.0
+        protocol_version = "HTTP/1.1"
+
         # quiet by default; errors still reach stderr via log_error
         def log_message(self, fmt, *args):
             pass

@@ -40,14 +40,19 @@ def main():
         for _ in range(args.clouds)
     ]
 
-    def post(cloud):
+    import http.client
+
+    def post(cloud, conn=None):
+        headers = {
+            "Content-Type": "application/octet-stream",
+            "X-Dtype": args.dtype,
+        }
+        if conn is not None:  # persistent HTTP/1.1 connection (keep-alive)
+            conn.request("POST", "/v1/predict", body=cloud.tobytes(), headers=headers)
+            resp = conn.getresponse()
+            return len(resp.read())
         req = urllib.request.Request(
-            base + "/v1/predict",
-            data=cloud.tobytes(),
-            headers={
-                "Content-Type": "application/octet-stream",
-                "X-Dtype": args.dtype,
-            },
+            base + "/v1/predict", data=cloud.tobytes(), headers=headers
         )
         with urllib.request.urlopen(req, timeout=1200) as r:
             return len(r.read())
@@ -65,14 +70,18 @@ def main():
         work = list(clouds)
 
         def client():
-            while True:
-                with lock:
-                    if not work:
-                        return
-                    c = work.pop()
-                n = post(c)
-                with lock:
-                    done.append(n)
+            conn = http.client.HTTPConnection(args.host, args.port, timeout=1200)
+            try:
+                while True:
+                    with lock:
+                        if not work:
+                            return
+                        c = work.pop()
+                    n = post(c, conn)
+                    with lock:
+                        done.append(n)
+            finally:
+                conn.close()
 
         t0 = time.time()
         ts = [threading.Thread(target=client) for _ in range(args.clients)]

@@ -139,6 +139,26 @@ def test_concurrent_requests_microbatch(server):
         np.testing.assert_array_equal(results[i], solo[i])
 
 
+def test_keep_alive_connection_reuse(server):
+    """HTTP/1.1 keep-alive: multiple predicts over ONE TCP connection."""
+    import http.client
+
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    try:
+        rng = np.random.default_rng(7)
+        for n in (60, 80):
+            pts = rng.normal(size=(n, 9)).astype(np.float32)
+            conn.request("POST", "/v1/predict", body=pts.tobytes(),
+                         headers={"Content-Type": "application/octet-stream"})
+            resp = conn.getresponse()
+            body = resp.read()  # must fully drain to reuse the connection
+            assert resp.status == 200
+            assert np.frombuffer(body, np.int8).shape == (n,)
+    finally:
+        conn.close()
+
+
 def test_stats(server):
     with urllib.request.urlopen(_url(server, "/v1/stats"), timeout=30) as r:
         s = json.loads(r.read())

@@ -164,6 +164,38 @@ def test_training_trajectory_identical():
     np.testing.assert_allclose(losses["host"], losses["cache"], rtol=0, atol=0)
 
 
+def test_epoch_indices_invariants_fuzz():
+    """Property sweep over (n, batch_size, pad_multiple, drop_last): every
+    epoch's index matrix is rectangular, covers each kept sample exactly once,
+    and marks exactly the replicated entries as padding."""
+    rng = np.random.default_rng(123)
+    for _ in range(40):
+        n = int(rng.integers(1, 12))
+        bs = int(rng.integers(1, 7))
+        m = int(rng.integers(1, 5))
+        drop_last = bool(rng.integers(0, 2)) and n >= bs
+        ds = _ListDataset(n_samples=n, n_points=8)
+        b = DeviceCachedBatcher(
+            PaddedBatcher(ds, bs, n_points=8, max_windows=3, prefetch=0,
+                          drop_last=drop_last, pad_to_multiple=m)
+        )
+        idxs, pads, names = b.epoch_index_matrix()
+        cfgmsg = f"n={n} bs={bs} m={m} drop_last={drop_last}"
+        assert idxs.shape == pads.shape, cfgmsg
+        if idxs.shape[0]:
+            assert idxs.shape[1] % m == 0, cfgmsg
+            assert idxs.shape[1] >= bs, cfgmsg
+        real = idxs[~pads].tolist()
+        if drop_last:
+            # a subset of distinct samples, one batch-multiple's worth
+            assert len(real) == len(b) * bs, cfgmsg
+            assert len(set(real)) == len(real), cfgmsg
+        else:
+            # every sample exactly once
+            assert sorted(real) == list(range(n)), cfgmsg
+        assert (idxs >= 0).all() and (idxs < n).all(), cfgmsg
+
+
 def test_maybe_device_cache_policy():
     ds = _ListDataset(n_samples=4)
     mk = lambda: PaddedBatcher(ds, batch_size=2, n_points=32, max_windows=3, prefetch=0)

@@ -57,6 +57,8 @@ class StepTimer:
         return dt
 
     def summary(self, skip_warmup: int = 1) -> Dict[str, float]:
+        if not self.times:  # zero-step (aborted) runs report, not crash
+            return {"steps": 0}
         ts = np.asarray(self.times[skip_warmup:] or self.times)
         return {
             "steps": len(self.times),

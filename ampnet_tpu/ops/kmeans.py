@@ -66,7 +66,9 @@ def sinkhorn_plan(
     u = jnp.zeros((n,), jnp.float32)
     v = jnp.zeros((cost.shape[1],), jnp.float32)
     u, v = jax.lax.fori_loop(0, iters, body, (u, v))
-    return jnp.exp(logK + u[:, None] + v[None, :])
+    # masked rows: u grows to ~+1e30 and logK+u cancels catastrophically in
+    # float32, leaving garbage instead of ~0 — force them to exactly zero mass
+    return jnp.exp(logK + u[:, None] + v[None, :]) * row_mass[:, None]
 
 
 def round_balanced(
@@ -132,8 +134,14 @@ def balanced_kmeans(
     """
     n = feats.shape[0]
     feats = feats.astype(jnp.float32)
-    n_real = n if point_mask is None else jnp.maximum(point_mask.sum(), 1)
     if capacities is None:
+        if point_mask is not None:
+            # static capacities cannot be derived from a traced mask: defaults
+            # based on the PADDED n would give infeasible marginals (rows sum
+            # to n_real, columns to n) — the caller must size them explicitly
+            raise ValueError(
+                "balanced_kmeans with point_mask requires explicit capacities"
+            )
         capacities = tuple(n // k + (1 if i < n % k else 0) for i in range(k))
     cap_arr = jnp.asarray(capacities, jnp.int32)
 

@@ -33,6 +33,11 @@ def resample_to_fixed_size(
     Matches the reference's semantics (sample without replacement when N > n_out,
     duplicate random points when N < n_out) on a static-shape input with an optional
     validity mask for padded inputs.
+
+    Contract: ``valid_mask`` must mark at least one point. An all-False mask
+    cannot raise under jit (data-dependent) — it would return ``n_out`` copies
+    of an arbitrary padding point, so callers must guard it host-side (this
+    repo's batchers never emit empty clouds).
     """
     n = points.shape[0]
     if valid_mask is None:

@@ -2,11 +2,11 @@
 (``utils/utils.py:668-754``), used by the reference's legacy pipelines to localize
 tower candidates in a cloud.
 
-Vectorized redesign: instead of the reference's O(windows · N) boolean double loop,
-points are binned once into the step grid, per-window counts come from a 2-D
-histogram, and a window's membership is four partial-sum lookups — O(N + grid).
-The overlap-merging rule (consecutive overlapping windows keep the denser one,
-reference ``:729-745``) is preserved.
+Same O(windows · N) masking structure as the reference, with the per-row y-mask
+hoisted out of the inner loop and empty rows skipped wholesale (the practical
+win — most rows of a sparse tower tile are empty). The overlap-merging rule
+(consecutive overlapping windows keep the denser one, reference ``:729-745``)
+is preserved, including the reference's i_w bookkeeping across skipped rows.
 """
 
 from __future__ import annotations
@@ -48,7 +48,9 @@ def sliding_window_scan(
     for yy in ys:
         in_y = (y > yy) & (y < yy + window_size[1])
         if not in_y.any():
-            i_w += len(xs)
+            # the reference skips empty y-rows WITHOUT advancing i_w
+            # (utils/utils.py:708-710), so windows flanking the gap still count
+            # as consecutive for the overlap-merge rule
             continue
         for xx in xs:
             i_w += 1

@@ -55,14 +55,22 @@ def filter_and_normalize(
 
     x, y, hag, cls = x[keep], y[keep], hag[keep], cls[keep]
     intensity, red, green, blue = intensity[keep], red[keep], green[keep], blue[keep]
+    has_nir = nir is not None
     nir = np.zeros_like(x) if nir is None else nir[keep]
     z_raw = hag if z_raw is None else z_raw[keep]
 
     if x.max() - x.min() == 0 or y.max() - y.min() == 0:
         return None, "pc_"  # degenerate window (reference guard, :91)
 
-    denom = np.maximum(nir + red, 1e-9)
-    ndvi = np.clip(((nir - red) / denom + 1.0) / 2.0, 0.0, 1.0)
+    if has_nir:
+        denom = np.maximum(nir + red, 1e-9)
+        ndvi = np.clip(((nir - red) / denom + 1.0) / 2.0, 0.0, 1.0)
+    else:
+        # NIR-less datasets: the reference hardcodes ndvi=0 BEFORE the +1/2
+        # shift, i.e. a stored constant 0.5 (2_preprocessing_filter_norm.py:
+        # 73-75,104) — computing from a zero NIR channel would give 0.0 and
+        # shift the whole feature by 0.5 against reference-trained models
+        ndvi = np.full_like(x, 0.5)
 
     xn = (x - x.min()) / (x.max() - x.min())
     yn = (y - y.min()) / (y.max() - y.min())

@@ -56,7 +56,7 @@ def fill_holes(grid: np.ndarray, max_iters: int = 1000) -> np.ndarray:
         ]
         stacked = np.stack(stacks)
         cnt = (~np.isnan(stacked)).sum(axis=0)
-        avg = np.where(cnt > 0, np.nansum(np.nan_to_num(stacked, nan=0.0), axis=0) / np.maximum(cnt, 1), np.nan)
+        avg = np.where(cnt > 0, np.nansum(stacked, axis=0) / np.maximum(cnt, 1), np.nan)
         g = np.where(nan & (cnt > 0), avg, g)
     return g
 

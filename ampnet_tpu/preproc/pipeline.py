@@ -67,12 +67,14 @@ def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], O
         hag = height_above_ground_grid(
             las.x, las.y, las.z, las.classification, cell=params.hag_cell
         )
+    has_nir = las.nir is not None
     tile = np.vstack(
         [las.x, las.y, hag, las.classification, las.intensity,
          las.red if las.red is not None else np.zeros(len(las)),
          las.green if las.green is not None else np.zeros(len(las)),
          las.blue if las.blue is not None else np.zeros(len(las)),
-         las.nir if las.nir is not None else np.zeros(len(las))]
+         las.nir if has_nir else np.zeros(len(las)),
+         las.z]  # raw elevation rides along: canonical col 12 is z, not HAG
     )
     produced: List[str] = []
     windows = split_tile_into_windows(tile, (params.window_size, params.window_size))
@@ -80,7 +82,8 @@ def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], O
         pts = w["points"]
         pc, prefix = filter_and_normalize(
             x=pts[0], y=pts[1], hag=pts[2], classification=pts[3],
-            intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7], nir=pts[8],
+            intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7],
+            nir=pts[8] if has_nir else None, z_raw=pts[9],
             max_z=params.max_z, min_points=params.min_points,
         )
         if pc is None:

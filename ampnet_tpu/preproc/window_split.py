@@ -34,11 +34,12 @@ def remap_las_classes(cls: np.ndarray) -> np.ndarray:
 
 
 def split_tile_into_windows(
-    tile: np.ndarray,  # [9, N] rows = TILE_COLS (reference layout, :48-51)
+    tile: np.ndarray,  # [R>=9, N], rows 0..8 = TILE_COLS (reference layout,
+    # :48-51); extra rows (e.g. raw z) ride along untouched
     w_size: Tuple[float, float] = (100.0, 100.0),
     tile_level_labels: bool = False,
 ) -> List[Dict]:
-    """Returns a list of ``{'name_label', 'window_id', 'points' [9, M]}`` dicts.
+    """Returns a list of ``{'label', 'window_id', 'points' [R, M]}`` dicts.
 
     The grid is anchored at round(min) like the reference's range() scan.
     """

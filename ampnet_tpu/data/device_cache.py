@@ -240,6 +240,11 @@ def maybe_device_cache(
     if mode not in ("on", "auto"):
         raise ValueError(f"device_cache mode {mode!r} (want on/off/auto)")
     if mode == "auto":
+        from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+        if isinstance(batcher, HostShardedBatcher):
+            # best-effort policy: multi-host input stays on the host pipeline
+            return batcher
         est = estimate_cache_bytes(batcher)
         if est > limit_bytes:
             print(

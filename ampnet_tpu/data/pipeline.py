@@ -174,24 +174,40 @@ class PaddedBatcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
 
         def producer():
             try:
                 for batch in self._make_batches(rng):
-                    q.put(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass  # consumer is gone; nothing waits on the sentinel
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # an abandoned iterator (e.g. a single next() to peek a sample)
+            # must not leave the producer thread alive filling the queue
+            stop.set()
         if err:
             raise err[0]
 
@@ -206,9 +222,7 @@ class SingleCloudBatcher(PaddedBatcher):
         super().__init__(dataset, batch_size, n_points=n_points, max_windows=1, **kw)
 
     def _make_batches(self, rng: np.random.Generator) -> Iterator[Dict]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng.shuffle(order)
+        order = self._epoch_order(rng)
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             samples = []

@@ -45,24 +45,30 @@ def predict_tile(
         hag = height_above_ground_grid(las.x, las.y, las.z, las.classification,
                                        cell=hag_cell)
     zeros = np.zeros(n)
+    has_nir = las.nir is not None  # NIR-less tiles must reach filter_and_
+    # normalize as nir=None so NDVI is the reference constant 0.5, not a 0.0
+    # computed against a zero channel (preproc/filter_norm.py)
     tile = np.vstack([
         las.x, las.y, hag, las.classification, las.intensity,
         las.red if las.red is not None else zeros,
         las.green if las.green is not None else zeros,
         las.blue if las.blue is not None else zeros,
-        las.nir if las.nir is not None else zeros,
+        las.nir if has_nir else zeros,
         np.arange(n, dtype=np.float64),  # row 9: original point index
     ])
 
     preds = np.full(n, -1, np.int32)
     labels = np.full(n, -1, np.int32)
-    seed = 0
+    # collect every window first, then ONE predict_many: same-bucket windows
+    # batch into single device calls and bucket fetches pipeline
+    win_feats, win_kept, win_cls = [], [], []
     for w in split_tile_into_windows(tile, (window_size, window_size)):
         pts = w["points"]
         orig_idx = pts[9].astype(np.int64)
         pc, _ = filter_and_normalize(
             x=pts[0], y=pts[1], hag=pts[2], classification=pts[3],
-            intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7], nir=pts[8],
+            intensity=pts[4], red=pts[5], green=pts[6], blue=pts[7],
+            nir=pts[8] if has_nir else None,
             max_z=max_z, min_points=min_points,
         )
         if pc is None or pc.shape[0] == 0:
@@ -77,10 +83,14 @@ def predict_tile(
         feats = np.concatenate([pc[:, 0:3], pc[:, 4:10]], axis=1)
         feats[:, 0] = feats[:, 0] * 2 - 1
         feats[:, 1] = feats[:, 1] * 2 - 1
-        p = inferencer.predict(feats.astype(np.float32), seed=seed)
-        seed += 1
-        preds[kept_idx] = p
-        labels[kept_idx] = np.asarray(remap_segmentation_labels(cls[keep]))
+        win_feats.append(feats.astype(np.float32))
+        win_kept.append(kept_idx)
+        win_cls.append(cls[keep])
+    if win_feats:
+        outs = inferencer.predict_many(win_feats, seeds=list(range(len(win_feats))))
+        for p, kept_idx, kcls in zip(outs, win_kept, win_cls):
+            preds[kept_idx] = p
+            labels[kept_idx] = np.asarray(remap_segmentation_labels(kcls))
 
     evaluated = labels >= 0
     metrics = {}

@@ -129,6 +129,11 @@ class PredictionService:
         t0 = time.time()
         job = _Job(clouds, probs)
         self._q.put(job)
+        if self._stop.is_set() and not job.event.is_set():
+            # raced close(): the worker may already have drained its final
+            # queue pass — fail fast instead of waiting on an event nobody sets
+            job.error = job.error or RuntimeError("PredictionService is closed")
+            job.event.set()
         job.event.wait()
         if job.error is not None:
             raise job.error

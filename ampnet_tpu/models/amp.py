@@ -198,10 +198,9 @@ class SegmentationHead(nn.Module):
         h = jnp.concatenate([local_feats, ctx], axis=-1)
         mask = point_mask
 
-        dims = (context.shape[-1] + L,)
-        del dims
         mid = max(cfg.global_feat // 2, 64) if context.shape[-1] >= 128 else 128
-        bn_kw = dict(use_running_average=not train, momentum=cfg.bn_momentum, dtype=cfg.dtype)
+        bn_kw = dict(use_running_average=not train, momentum=cfg.bn_momentum,
+                     dtype=cfg.dtype, norm_mode=cfg.bn_mode)
 
         h = nn.Dense(mid, use_bias=True, dtype=cfg.dtype, name="dense_1")(h)
         h = MaskedBatchNorm(**bn_kw, name="bn_1")(h, mask)
@@ -276,6 +275,8 @@ class ClassificationHead(nn.Module):
         )
         h = nn.relu(h)
         h = nn.Dense(128, use_bias=True, dtype=cfg.dtype, name="fc_2")(h)
+        # always batch-mode: this input is [B, E] (one vector per cloud), so
+        # 'window' per-point statistics have no axis to reduce over here
         h = MaskedBatchNorm(
             use_running_average=not train, momentum=cfg.bn_momentum, dtype=cfg.dtype, name="bn_2"
         )(h)

@@ -75,15 +75,24 @@ def random_point_dropout(
     points: jnp.ndarray,  # [..., N, F]
     key: jax.Array,
     max_dropout: float = 0.875,
-) -> jnp.ndarray:
+    labels: Optional[jnp.ndarray] = None,  # [..., N]
+):
     """Randomly replace a fraction of points with the first point — static-shape
-    dropout matching reference random_point_dropout (utils/utils.py:940-954)."""
+    dropout matching reference random_point_dropout (utils/utils.py:940-954).
+
+    For per-point tasks pass ``labels``: dropped points take the FIRST point's
+    label along with its coordinates (supervising a duplicated point with the
+    replaced point's label would corrupt segmentation training); returns
+    ``(points, labels)`` in that case."""
     k1, k2 = jax.random.split(key)
     ratio = jax.random.uniform(k1, ()) * max_dropout
-    n = points.shape[-2]
     drop = jax.random.uniform(k2, points.shape[:-1]) < ratio
     first = jnp.broadcast_to(points[..., :1, :], points.shape)
-    return jnp.where(drop[..., None], first, points)
+    out = jnp.where(drop[..., None], first, points)
+    if labels is None:
+        return out
+    first_lbl = jnp.broadcast_to(labels[..., :1], labels.shape)
+    return out, jnp.where(drop, first_lbl, labels)
 
 
 def shuffle_windows(

@@ -100,7 +100,8 @@ def make_step_fns(
             elif name == "shift":
                 points = random_shift(points, key)
             elif name == "point_dropout":
-                points = random_point_dropout(points, key)
+                # labels follow the replacement points (per-point supervision)
+                points, labels = random_point_dropout(points, key, labels=labels)
             else:
                 raise ValueError(f"unknown augmentation {name!r}")
         aug = dict(batch, points=points, labels=labels)

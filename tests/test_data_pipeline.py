@@ -240,3 +240,23 @@ class TestHostShardedBatcher:
         assert g["points"].shape == (8, 2, 16, 9)
         np.testing.assert_array_equal(np.asarray(g["points"]), local["points"])
         assert len(g["points"].sharding.device_set) == 4
+
+
+def test_abandoned_prefetch_iterator_stops_producer(artifact_dir):
+    """Peeking one batch (Trainer.__init__ does next(iter(...))) must not leave
+    the prefetch producer thread alive filling the queue."""
+    import gc
+    import threading
+    import time as _time
+
+    d, names = artifact_dir
+    ds = WindowedCloudDataset(d, [n + ".pt" for n in names])
+    before = threading.active_count()
+    it = iter(PaddedBatcher(ds, 1, n_points=64, max_windows=2, prefetch=2))
+    next(it)
+    del it
+    gc.collect()
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() == before

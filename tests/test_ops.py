@@ -216,3 +216,27 @@ def test_balanced_kmeans_argmin_mode_exact_sizes():
     sse = ((f - np.asarray(cent)[np.asarray(a)]) ** 2).sum()
     sse2 = ((f - np.asarray(cent2)[np.asarray(a2)]) ** 2).sum()
     assert sse < 2.0 * sse2, (sse, sse2)
+
+
+def test_point_dropout_labels_follow_points():
+    """Dropped points take the FIRST point's label along with its coordinates —
+    supervising a duplicate with the replaced point's label would corrupt
+    per-point training."""
+    import jax
+    import jax.numpy as jnp
+
+    from ampnet_tpu.ops.augment import random_point_dropout
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 5, size=(2, 3, 64)).astype(np.int32)
+    # encode each point's label into a feature so consistency is checkable
+    points = np.zeros((2, 3, 64, 9), np.float32)
+    points[..., 0] = labels
+    out_p, out_l = random_point_dropout(
+        jnp.asarray(points), jax.random.PRNGKey(3), labels=jnp.asarray(labels)
+    )
+    np.testing.assert_array_equal(np.asarray(out_p[..., 0]).astype(np.int32),
+                                  np.asarray(out_l))
+    # without labels: points-only return, same as before
+    only_p = random_point_dropout(jnp.asarray(points), jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(only_p), np.asarray(out_p))

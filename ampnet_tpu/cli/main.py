@@ -118,6 +118,9 @@ def cmd_preprocess(args) -> int:
     if n_failed:
         msg += f" ({n_failed} unreadable tiles skipped)"
     print(msg)
+    if not produced:
+        print("no windows produced — every input tile failed", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -463,7 +466,8 @@ def cmd_serve(args) -> int:
 
         windowed = cfg.model.context in ("attention", "gru")
         backend = args.backend
-        if backend not in ("xla", "folded") and not windowed:
+        if backend not in ("xla", "folded") and cfg.model.context != "attention":
+            # covers gru too — every non-xla backend evaluates attention params
             print("non-xla backends (folded/bf16/fused/int8) support the attention "
                   "segmenter only; use --backend xla", file=sys.stderr)
             return 1

@@ -26,6 +26,23 @@ _lib = None
 _build_attempted = False
 
 
+def _build() -> None:
+    """Serialized on-demand build: an flock keeps concurrent processes (e.g.
+    preprocess worker pools on a fresh clone) from racing g++ over the same
+    output file and dlopen'ing a half-written .so."""
+    import fcntl
+
+    with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(_LIB_PATH):  # a peer may have built it already
+                subprocess.run(
+                    ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
+                )
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     if _lib is not None:
@@ -33,14 +50,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH) and not _build_attempted:
         _build_attempted = True
         try:
-            subprocess.run(
-                ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
-            )
+            _build()
         except Exception:
             return None
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # corrupt/truncated .so: degrade to the NumPy fallbacks, never crash
+        return None
     # a stale .so built before a newer symbol was added must degrade to the
     # NumPy fallbacks (return None), not crash every native entry point —
     # try one rebuild first
@@ -169,6 +188,8 @@ def _assign_fallback(cost: np.ndarray, caps: np.ndarray) -> np.ndarray:
     """Greedy regret-ordered feasible assignment + pairwise-swap refinement
     (near-optimal; used only when the C++ library can't be built)."""
     n, k = cost.shape
+    if k == 1:  # np.partition(cost, 1) needs >= 2 columns; k=1 is trivial
+        return np.zeros(n, np.int32)
     order = np.argsort(np.partition(cost, 1, axis=1)[:, 1] - cost.min(axis=1))[::-1]
     load = np.zeros(k, np.int64)
     assign = np.full(n, -1, np.int32)

@@ -86,6 +86,8 @@ def fused_mlp_chain(
     cout = weights[-1].shape[1]
     cmax = max(w.shape[1] for w in weights)
     g = block_windows or _pick_block_windows(m, n, cmax)
+    while m % g:  # a non-dividing group would silently drop remainder windows
+        g -= 1
 
     # 2-D blocks throughout: the window axis folds into rows. (3-D blocks with a
     # leading dim > 1 trip a Mosaic pipelining fault at grid ≥ ~32 on this

@@ -57,6 +57,8 @@ def quantized_mlp_chain(
     """int8 version of fused_mlp_chain (dynamic per-block activation scales)."""
     m, n, cin = x.shape
     n_layers = len(wq)
+    assert len(w_scale) == n_layers and len(biases) == n_layers  # zip would
+    # silently truncate a mismatched layer list into wrong-but-plausible logits
     assert pool or return_acts
     cout = wq[-1].shape[1]
     cmax = max(q.shape[1] for q in wq)

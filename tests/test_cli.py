@@ -119,14 +119,29 @@ def test_preprocess_worker_pool_matches_serial(tmp_path):
 
 
 def test_preprocess_skips_corrupt_tile(tmp_path, capsys):
+    """A corrupt tile is skipped (reference imap_unordered robustness) as long
+    as something was produced; an ALL-failed run exits non-zero so chained
+    scripts stop at the diagnostic instead of an empty train list later."""
     las_dir, out_dir = tmp_path / "las", tmp_path / "out"
     las_dir.mkdir()
     (las_dir / "bad.las").write_bytes(b"NOT A LAS FILE")
-    rc = cmd_preprocess(ns(in_path=str(las_dir), out_path=str(out_dir), dataset="T",
-                           window_size=50.0, max_z=100.0, min_points=10,
-                           n_points=64, max_windows=2, hag_cell=2.0, seed=0,
-                           artifact_format="npz"))
-    assert rc == 0  # skip-and-continue, not crash
+    kw = dict(in_path=str(las_dir), out_path=str(out_dir), dataset="T",
+              window_size=50.0, max_z=100.0, min_points=10,
+              n_points=64, max_windows=2, hag_cell=2.0, seed=0,
+              artifact_format="npz")
+    rc = cmd_preprocess(ns(**kw))
+    assert rc == 1  # nothing produced at all
+    out = capsys.readouterr()
+    assert "skipped" in out.err or "skipped" in out.out
+
+    # with one good tile alongside, the bad one skips and the run succeeds
+    from ampnet_tpu.cli.main import cmd_synth
+
+    cmd_synth(ns(out_path=str(las_dir), n_tiles=1, windows_per_tile=1,
+                 points_per_window=800, window_size=50.0, seed=0,
+                 landscape_fraction=0.0))
+    rc = cmd_preprocess(ns(**kw))
+    assert rc == 0
     out = capsys.readouterr()
     assert "skipped" in out.err or "skipped" in out.out
 

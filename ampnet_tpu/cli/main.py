@@ -30,15 +30,30 @@ def cmd_synth(args) -> int:
     os.makedirs(args.out_path, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     landscape_frac = getattr(args, "landscape_fraction", 0.0)
+    hard = getattr(args, "scene", "easy") == "hard"
+    relief = float(getattr(args, "terrain_relief", 0.0) or 0.0)
+    jitter = float(getattr(args, "point_jitter", 0.0) or 0.0)
     for i in range(args.n_tiles):
         parts = []
         for _ in range(args.windows_per_tile):
             # landscape windows (no towers/lines) give classification datasets
             # genuine negatives, like the reference's 'pc_' windows
             pylons = 0 if rng.uniform() < landscape_frac else 2
-            parts.append(synthetic_scene(rng, n_points=args.points_per_window,
-                                         extent_m=args.window_size,
-                                         n_pylons=pylons))
+            npts = args.points_per_window
+            if jitter > 0:
+                # arbitrary-scale realism: per-window point counts vary lognormally
+                npts = max(256, int(npts * rng.lognormal(0.0, jitter)))
+            if hard:
+                from ampnet_tpu.data.synthetic import synthetic_scene_hard
+
+                pylons = 0 if pylons == 0 else int(rng.integers(2, 4))
+                parts.append(synthetic_scene_hard(rng, n_points=npts,
+                                                  extent_m=args.window_size,
+                                                  n_pylons=pylons))
+            else:
+                parts.append(synthetic_scene(rng, n_points=npts,
+                                             extent_m=args.window_size,
+                                             n_pylons=pylons))
         # place windows side by side in raw coordinates
         clouds = []
         for w, sc in enumerate(parts):
@@ -48,14 +63,30 @@ def cmd_synth(args) -> int:
             clouds.append(c)
         sc = np.concatenate(clouds)
         n = len(sc)
-        # ground points at z=0 (class 2) so HAG has a terrain reference
-        n_g = n // 4
-        gx = rng.uniform(sc[:, 10].min(), sc[:, 10].max(), n_g)
-        gy = rng.uniform(sc[:, 11].min(), sc[:, 11].max(), n_g)
+        has_ground = bool((sc[:, 3] == 2).any())
+        if has_ground:
+            # hard scenes carry their own density-thinned ground returns
+            gx = gy = np.zeros(0)
+            n_g = 0
+        else:
+            # ground points at z=0 (class 2) so HAG has a terrain reference
+            n_g = n // 4
+            gx = rng.uniform(sc[:, 10].min(), sc[:, 10].max(), n_g)
+            gy = rng.uniform(sc[:, 11].min(), sc[:, 11].max(), n_g)
+        x = np.concatenate([sc[:, 10], gx])
+        y = np.concatenate([sc[:, 11], gy])
+        z = np.concatenate([sc[:, 12], np.zeros(n_g)])
+        if relief > 0:
+            # smooth random terrain under everything; the HAG stage must recover
+            # the height-above-ground that the labels were generated in
+            from ampnet_tpu.data.synthetic import make_terrain
+
+            terr = make_terrain(rng, relief, args.window_size * max(args.windows_per_tile, 1))
+            z = z + terr(x - x.min(), y - y.min())
         cloud = LasCloud(
-            x=np.concatenate([sc[:, 10], gx]),
-            y=np.concatenate([sc[:, 11], gy]),
-            z=np.concatenate([sc[:, 12], np.zeros(n_g)]),
+            x=x,
+            y=y,
+            z=z,
             intensity=np.concatenate([sc[:, 4] * 5000, rng.uniform(0, 5000, n_g)]),
             classification=np.concatenate([sc[:, 3], np.full(n_g, 2)]).astype(np.int64),
             red=np.concatenate([sc[:, 5] * 65535, rng.uniform(0, 65535, n_g)]),
@@ -622,6 +653,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--points_per_window", type=int, default=8000)
     s.add_argument("--window_size", type=float, default=100.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--scene", choices=["easy", "hard"], default="easy",
+                   help="hard: class imbalance, building/pole confusers, "
+                        "lines-through-canopy, density gradients + dropout holes, "
+                        "sensor noise (round-3 quality benchmark)")
+    s.add_argument("--terrain_relief", type=float, default=0.0,
+                   help="metres of smooth terrain relief under the scene "
+                        "(exercises the HAG stage; labels stay in HAG space)")
+    s.add_argument("--point_jitter", type=float, default=0.0,
+                   help="lognormal sigma on per-window point counts")
     s.add_argument("--landscape_fraction", type=float, default=0.0,
                    help="fraction of windows generated WITHOUT towers/power "
                         "lines (negatives for classification)")

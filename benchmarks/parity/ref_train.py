@@ -131,6 +131,8 @@ def main() -> int:
     ap.add_argument("--learning_rate", type=float, default=1e-3)
     ap.add_argument("--family", choices=["attention", "gru"], default="attention")
     ap.add_argument("--n_windows", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="torch/numpy/random seed (multi-seed parity arms)")
     args = ap.parse_args()
 
     os.environ.setdefault("MPLBACKEND", "Agg")
@@ -148,7 +150,13 @@ def main() -> int:
     import torch
 
     torch.set_num_threads(1)  # 1-core host; matches the recorded CPU baseline
-    torch.manual_seed(0)
+    torch.manual_seed(args.seed)
+    import random
+
+    import numpy as _np
+
+    random.seed(args.seed)
+    _np.random.seed(args.seed)
 
     mod = load_train_module(args.family)
 

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Multi-seed quality sweep over a (hard) synthetic benchmark dataset.
+
+Round-3 protocol (VERDICT r2 #1): the easy synthetic benchmark saturated
+(flagship mIoU 0.9625, veg IoUs >= 0.998), so quality numbers get error bars —
+every model family trains and evaluates at >= 5 seeds on the HARD generator
+(``ampnet synth --scene hard``) and BASELINE.md reports mean +/- std.
+
+Runs everything in ONE process so XLA program caches are shared across seeds
+(same shapes => one compile per family, critical on the slow-compile relay).
+
+Usage:
+  python benchmarks/quality_sweep.py --data DIR --out results.jsonl \
+      --families attention,gru,classic,pointnet2,cls --seeds 0,1,2,3,4 \
+      --epochs 80 [--dataset-seeds] [--scratch /tmp/qsweep]
+
+Each row: {"family", "seed", "train_s", "eval_s", "summary": {iou_*, miou, oa}}
+(classification rows carry accuracy/F1/PR-AUC instead). Re-running with the same
+--out skips (family, seed) pairs already present — the sweep is resumable.
+
+Evaluation mirrors the round-2 parity protocol: the tiled tester at
+max_clusters 32 for windowed archs, whole-cloud evaluation for the others
+(reference tester semantics, test_pointnet_att_segmen.py:186-219 /
+test_segmentation.py).
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
+               n_windows, dtype):
+    task = "classification" if family == "cls" else "segmentation"
+    arch = "attention" if family == "cls" else family
+    windowed = arch in ("attention", "gru")
+    return SimpleNamespace(
+        dataset_path=data,
+        task=task,
+        arch=arch,
+        path_list_files=data,
+        out_path=os.path.join(scratch, f"{family}_s{seed}"),
+        number_of_points=n_points if windowed else max(n_points, 2048),
+        number_of_windows=n_windows,
+        batch_size=batch_size,
+        epochs=epochs,
+        learning_rate=1e-3,
+        weighing_method="EFS",
+        seed=seed,
+        model_checkpoint="",
+        device_cache="auto",
+        epoch_dispatch="auto",
+        num_devices=1,
+        bn_mode="batch",
+        dtype=dtype,
+        reference_noise_compat=False,
+    )
+
+
+def test_args(ta, family):
+    ckpt = os.path.join(ta.out_path, "checkpoints", f"{ta.arch}_{ta.task}_best")
+    return SimpleNamespace(
+        dataset_path=ta.dataset_path,
+        model_checkpoint=ckpt,
+        path_list_files=ta.path_list_files,
+        out_path=ta.out_path,
+        arch=ta.arch,
+        task=ta.task,
+        max_clusters=32,
+        plot=False,
+        backend="xla",
+        tiler="balanced",
+        transfer_dtype=None,
+    )
+
+
+def run_one(family, seed, args):
+    from ampnet_tpu.cli.main import cmd_test, cmd_train
+
+    ta = train_args(family, seed, args.data, args.scratch, args.epochs,
+                    args.batch_size, args.n_points, args.n_windows, args.dtype)
+    os.makedirs(ta.out_path, exist_ok=True)
+    t0 = time.time()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cmd_train(ta)
+    if rc != 0:
+        return {"family": family, "seed": seed, "error": f"train rc={rc}"}
+    train_s = time.time() - t0
+
+    t0 = time.time()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cmd_test(test_args(ta, family))
+    eval_s = time.time() - t0
+    if rc != 0:
+        return {"family": family, "seed": seed, "error": f"test rc={rc}"}
+    txt = buf.getvalue()
+    summary = json.loads(txt[txt.find("{"):])
+    return {"family": family, "seed": seed, "train_s": round(train_s, 1),
+            "eval_s": round(eval_s, 1), "summary": summary}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--families", default="attention,gru,classic,pointnet2,cls")
+    ap.add_argument("--seeds", default="0,1,2,3,4")
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--n_points", type=int, default=256)
+    ap.add_argument("--n_windows", type=int, default=5)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--scratch", default="/tmp/qsweep")
+    args = ap.parse_args()
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    if "error" not in r:
+                        done.add((r["family"], r["seed"]))
+                except json.JSONDecodeError:
+                    pass
+
+    families = args.families.split(",")
+    seeds = [int(s) for s in args.seeds.split(",")]
+    total = len(families) * len(seeds)
+    i = 0
+    for family in families:  # family-major: one compile, then all seeds hit cache
+        for seed in seeds:
+            i += 1
+            if (family, seed) in done:
+                print(f"[{i}/{total}] {family} seed {seed}: already done",
+                      file=sys.stderr, flush=True)
+                continue
+            print(f"[{i}/{total}] {family} seed {seed} ...",
+                  file=sys.stderr, flush=True)
+            t0 = time.time()
+            row = run_one(family, seed, args)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            key = ("miou" if "miou" in row.get("summary", {})
+                   else next(iter(row.get("summary", {"error": 0})), "error"))
+            val = row.get("summary", {}).get(key, row.get("error"))
+            print(f"[{i}/{total}] {family} seed {seed}: {key}={val} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    print(f"sweep complete -> {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -253,4 +253,15 @@ def maybe_device_cache(
                 file=sys.stderr,
             )
             return batcher
+    else:  # mode == 'on': same incompatibility, but explicit — explain, don't crash
+        from ampnet_tpu.data.pipeline import HostShardedBatcher
+
+        if isinstance(batcher, HostShardedBatcher):
+            print(
+                "--device_cache on ignored: multi-host input stays on the host "
+                "pipeline (each host sees only its shard; caching it would "
+                "change the epoch distribution)",
+                file=sys.stderr,
+            )
+            return batcher
     return DeviceCachedBatcher(batcher, mesh=mesh, limit_bytes=limit_bytes)

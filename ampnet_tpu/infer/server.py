@@ -46,13 +46,23 @@ class ServingStats:
         self.points = 0
         self.errors = 0
         self.started = time.time()
-        self._lat: List[float] = []  # bounded reservoir of recent latencies
+        self._lat: List[float] = []  # bounded reservoir of recent WARM latencies
+        self.cold_requests = 0  # first-per-bucket requests (paid a jit compile)
+        self._cold_lat_max = 0.0
 
-    def record(self, n_clouds: int, n_points: int, latency_s: float) -> None:
+    def record(self, n_clouds: int, n_points: int, latency_s: float,
+               cold: bool = False) -> None:
         with self._lock:
             self.requests += 1
             self.clouds += n_clouds
             self.points += n_points
+            if cold:
+                # keep one multi-minute relay compile from dominating p99 for
+                # the next 1024 requests: cold latencies are counted but stay
+                # out of the quantile reservoir
+                self.cold_requests += 1
+                self._cold_lat_max = max(self._cold_lat_max, latency_s)
+                return
             self._lat.append(latency_s)
             if len(self._lat) > 1024:
                 self._lat = self._lat[-512:]
@@ -73,11 +83,15 @@ class ServingStats:
                 "points": self.points,
                 "errors": self.errors,
                 "points_per_sec_lifetime": round(self.points / dt, 1) if dt else 0.0,
+                # quantiles cover warm requests only; cold (first-per-bucket,
+                # compile-bearing) requests are counted separately
                 "latency_s": {
                     "p50": q(0.50),
                     "p90": q(0.90),
                     "p99": q(0.99),
                 },
+                "cold_requests": self.cold_requests,
+                "cold_latency_max_s": round(self._cold_lat_max, 3) or None,
             }
 
 
@@ -110,6 +124,10 @@ class PredictionService:
         self.batch_window_s = batch_window_ms / 1e3
         self.max_batch_clouds = max_batch_clouds
         self.stats = ServingStats()
+        # program buckets already exercised (warmup or traffic): requests that
+        # touch a new bucket pay its compile and are tagged cold for stats
+        self._warm_buckets: set = set()
+        self._bucket_key = getattr(inferencer, "bucket_key", None)
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -127,6 +145,9 @@ class PredictionService:
         if self._stop.is_set():
             raise RuntimeError("PredictionService is closed")
         t0 = time.time()
+        keys = ({self._bucket_key(c.shape[0]) for c in clouds}
+                if self._bucket_key else set())
+        cold = bool(keys - self._warm_buckets)
         job = _Job(clouds, probs)
         self._q.put(job)
         if self._stop.is_set() and not job.event.is_set():
@@ -137,7 +158,9 @@ class PredictionService:
         job.event.wait()
         if job.error is not None:
             raise job.error
-        self.stats.record(len(clouds), sum(c.shape[0] for c in clouds), time.time() - t0)
+        self._warm_buckets |= keys
+        self.stats.record(len(clouds), sum(c.shape[0] for c in clouds),
+                          time.time() - t0, cold=cold)
         return job.result
 
     # -- worker --------------------------------------------------------------
@@ -378,6 +401,8 @@ class InferenceServer:
         for n in sizes:
             pts = rng.normal(size=(int(n), n_feat)).astype(np.float32)
             self.service.inferencer.predict_many([pts], seeds=[0])
+            if self.service._bucket_key:
+                self.service._warm_buckets.add(self.service._bucket_key(int(n)))
 
     def serve_forever(self) -> None:
         try:

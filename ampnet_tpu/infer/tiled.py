@@ -170,6 +170,18 @@ class TiledInferencer:
         self._fns[(k, cap, probs)] = run
         return run
 
+    def bucket_key(self, n: int) -> tuple:
+        """(k, cap) program-bucket key an n-point cloud resolves to. Serving uses
+        this to tag first-per-bucket requests, whose latency includes the cold
+        compile (minutes through this relay), so /v1/stats quantiles reflect the
+        warm steady state. Mega-clouds report the key of their spatially-halved
+        pieces (the bucket the recursion bottoms out in)."""
+        n = max(int(n), 1)
+        while n > self.max_points_per_call:
+            n -= n // 2  # the larger half of the recursive split
+        k = num_tiles_test(n, self.n_points, self.max_clusters)
+        return (k, self._cap_for(n, k))
+
     def predict(self, points9: np.ndarray, seed: int = 0, return_probs: bool = False):
         """Per-point class predictions for one [N, 9] cloud of any size.
 

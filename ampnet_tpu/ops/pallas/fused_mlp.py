@@ -55,10 +55,10 @@ def _pick_block_windows(m: int, n: int, cmax: int, dtype_bytes: int = 4) -> int:
     below."""
     budget = 8 * 1024 * 1024
     per_window = n * max(cmax, 128) * dtype_bytes * 2
-    g = min(8, max(1, budget // max(per_window, 1)))
-    while m % g:
-        g -= 1
-    return g
+    # callers pad m up to a multiple of g (at most g-1 garbage windows), so no
+    # divisibility constraint here — shrinking g toward 1 for awkward m would
+    # explode the grid into per-window programs
+    return min(8, max(1, budget // max(per_window, 1)))
 
 
 @functools.partial(
@@ -86,8 +86,15 @@ def fused_mlp_chain(
     cout = weights[-1].shape[1]
     cmax = max(w.shape[1] for w in weights)
     g = block_windows or _pick_block_windows(m, n, cmax)
-    while m % g:  # a non-dividing group would silently drop remainder windows
-        g -= 1
+    # pad m up to a multiple of g instead of shrinking g toward 1: a prime m
+    # with g=1 would produce an m-program grid, and per-grid-step overhead on
+    # this toolchain is ~130-210 µs — the padded windows are bias-only garbage
+    # rows sliced off below
+    m_real = m
+    pad = -m % g
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, n, cin), x.dtype)], axis=0)
+        m += pad
 
     # 2-D blocks throughout: the window axis folds into rows. (3-D blocks with a
     # leading dim > 1 trip a Mosaic pipelining fault at grid ≥ ~32 on this
@@ -147,7 +154,8 @@ def fused_mlp_chain(
         ),
     )(x2, *flat_params)
     if return_acts and pool:
-        return result[0].reshape(m, n, cout), result[1].reshape(m, cout)
+        return (result[0].reshape(m, n, cout)[:m_real],
+                result[1].reshape(m, cout)[:m_real])
     if pool:
-        return result[0].reshape(m, cout)
-    return result[0].reshape(m, n, cout)
+        return result[0].reshape(m, cout)[:m_real]
+    return result[0].reshape(m, n, cout)[:m_real]

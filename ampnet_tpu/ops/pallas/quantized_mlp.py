@@ -66,8 +66,13 @@ def quantized_mlp_chain(
     # halve the fp32 picker's window group (measured: the fp32-sized block OOMs
     # scoped VMEM by ~4 MB at [288·2048, 12→64→64])
     g = block_windows or max(1, _pick_block_windows(m, n, cmax) // 2)
-    while m % g:
-        g -= 1
+    # pad m to a multiple of g rather than shrinking g (see fused_mlp_chain:
+    # prime m would otherwise degrade to an m-program grid at ~130-210 µs/step)
+    m_real = m
+    pad = -m % g
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, n, cin), x.dtype)], axis=0)
+        m += pad
 
     x2 = x.reshape(m * n, cin)
     flat_params: List[jnp.ndarray] = []
@@ -125,10 +130,11 @@ def quantized_mlp_chain(
         ),
     )(x2, *flat_params)
     if return_acts and pool:
-        return result[0].reshape(m, n, cout), result[1].reshape(m, cout)
+        return (result[0].reshape(m, n, cout)[:m_real],
+                result[1].reshape(m, cout)[:m_real])
     if pool:
-        return result[0].reshape(m, cout)
-    return result[0].reshape(m, n, cout)
+        return result[0].reshape(m, cout)[:m_real]
+    return result[0].reshape(m, n, cout)[:m_real]
 
 
 def quantize_chain(weights: Sequence[jnp.ndarray]):

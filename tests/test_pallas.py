@@ -34,6 +34,23 @@ def test_fused_chain_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(pooled_only), np.asarray(pooled), atol=1e-6)
 
 
+def test_fused_chain_pads_non_dividing_m(rng):
+    """Awkward (prime) window counts must pad up to the block group, not shrink
+    the group toward per-window programs (grid-step overhead is ~130-210 µs on
+    this toolchain) — and padded garbage rows must not leak into the output."""
+    m, n = 5, 32
+    x = jnp.asarray(rng.normal(size=(m, n, 8)).astype(np.float32))
+    ws = [jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))]
+    bs = [jnp.asarray(rng.normal(size=(16,)).astype(np.float32))]
+    ref = jnp.maximum(x @ ws[0] + bs[0], 0.0)
+    acts, pooled = fused_mlp_chain(x, ws, bs, pool=True, interpret=True,
+                                   block_windows=2)  # 5 % 2 != 0 → pad to 6
+    assert acts.shape == (m, n, 16) and pooled.shape == (m, 16)
+    np.testing.assert_allclose(np.asarray(acts), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref.max(axis=1)),
+                               atol=1e-5)
+
+
 def test_no_relu_last(rng):
     x = jnp.asarray(rng.normal(size=(2, 32, 8)).astype(np.float32))
     w = [jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))]

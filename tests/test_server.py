@@ -164,6 +164,23 @@ def test_stats(server):
         s = json.loads(r.read())
     assert s["requests"] > 0 and s["points"] > 0 and s["errors"] >= 0
     assert s["latency_s"]["p50"] is not None
+    # first-per-bucket requests pay the jit compile; they are counted but kept
+    # out of the latency quantile reservoir
+    assert s["cold_requests"] >= 1
+    assert s["cold_requests"] + len([1]) <= s["requests"] + 1
+
+
+def test_cold_requests_excluded_from_reservoir():
+    from ampnet_tpu.infer.server import ServingStats
+
+    st = ServingStats()
+    st.record(1, 100, 300.0, cold=True)  # a relay compile
+    for _ in range(4):
+        st.record(1, 100, 0.01)
+    s = st.snapshot()
+    assert s["cold_requests"] == 1 and s["requests"] == 5
+    assert s["latency_s"]["p99"] < 1.0  # the 300 s outlier stayed out
+    assert s["cold_latency_max_s"] == 300.0
 
 
 def test_mesh_sharded_service():

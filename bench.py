@@ -21,6 +21,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+# committed PIN of the CPU-torch denominator: vs_baseline was drifting on
+# re-measurements of the same eager loop (43.7 -> 36.2 w/s run-to-run on this
+# contended 1-core host, VERDICT r2), moving the ratio without any TPU change.
+# The pin freezes the best measured host value; AMPNET_BENCH_REMEASURE=1 opts
+# back into live measurement.
+BASELINE_PIN = os.path.join(REPO, "benchmarks", "bench_baseline_pinned.json")
 
 def _enable_compile_cache():
     """Persistent compilation cache: first-time compile through this environment's
@@ -52,6 +58,9 @@ FALLBACK_BASELINE = {
 
 
 def get_baseline() -> dict:
+    if os.path.exists(BASELINE_PIN) and not os.environ.get("AMPNET_BENCH_REMEASURE"):
+        with open(BASELINE_PIN) as f:
+            return json.load(f)
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)
@@ -93,13 +102,15 @@ def measure_tpu(iters: int = 30) -> dict:
     variables = model.init(jax.random.PRNGKey(0), pts, cent, pad)
 
     # AMPNET_BACKEND=xla|folded|bf16|fused|int8 selects the inference backend
-    # (models/backends). Default 'folded': inference BN folded into the dense
-    # kernels — an EXACT affine rewrite of the flax forward (parity 2e-4,
-    # tests/test_backends.py), measured ~3% faster than 'xla' and the fastest
-    # path on this stack (docs/design.md).
+    # (models/backends). Default 'xla' (round 3, reverted from 'folded'):
+    # folded's measured win is -3% step time — inside relay run-to-run noise —
+    # while being a different XLA program, so switching defaults forfeited the
+    # persistent-cache hit and put a 194 s cold compile in the round-2 driver
+    # artifact. 'folded' remains available and parity-tested (2e-4,
+    # tests/test_backends.py).
     from ampnet_tpu.models.backends import make_forward
 
-    backend = os.environ.get("AMPNET_BACKEND", "folded")
+    backend = os.environ.get("AMPNET_BACKEND", "xla")
     fwd = make_forward(model, cfg, backend)
 
     @jax.jit

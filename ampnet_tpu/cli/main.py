@@ -458,6 +458,15 @@ def cmd_infer(args) -> int:
             if save_probs:
                 preds, probs = out
                 np.save(os.path.join(args.out_path, stem + "_probs.npy"), probs)
+                # confidence histogram alongside the raw probabilities (the
+                # reference's plot_hist surface, utils_plot.py:91-97)
+                from ampnet_tpu.core.plotting import plot_class_histograms
+
+                plot_class_histograms(
+                    preds, probs,
+                    save_to=os.path.join(args.out_path, stem + "_hist.png"),
+                    title=stem,
+                )
             else:
                 preds = out
             np.save(os.path.join(args.out_path, stem + "_preds.npy"), preds)

@@ -123,6 +123,127 @@ def plot_training_curves(
     return fig
 
 
+def plot_histogram(
+    values: np.ndarray,
+    bins: int = 50,
+    title: Optional[str] = None,
+    save_to: Optional[str] = None,
+):
+    """1-D histogram figure (reference ``plot_hist``, utils_plot.py:91-97)."""
+    fig, ax = plt.subplots(tight_layout=True)
+    ax.hist(np.asarray(values).ravel(), bins=bins)
+    if title:
+        ax.set_title(title)
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def plot_histogram_2d(
+    x: np.ndarray,
+    y: np.ndarray,
+    bins: int = 50,
+    title: Optional[str] = None,
+    save_to: Optional[str] = None,
+):
+    """2-D (x, y) density histogram (reference ``plot_hist2D``,
+    utils_plot.py:72-88) — the reference uses it to eyeball window point
+    layouts."""
+    fig, ax = plt.subplots(tight_layout=True)
+    h = ax.hist2d(np.asarray(x).ravel(), np.asarray(y).ravel(), bins=bins)
+    fig.colorbar(h[3], ax=ax)
+    if title:
+        ax.set_title(title)
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def plot_class_histograms(
+    labels: np.ndarray,  # [N] predicted or true class ids
+    probs: Optional[np.ndarray] = None,  # [N, num_classes] softmax confidences
+    class_names: Sequence[str] = SEG_CLASS_NAMES,
+    title: Optional[str] = None,
+    save_to: Optional[str] = None,
+):
+    """Per-class point-count bars plus (when ``probs`` given) per-class
+    prediction-confidence histograms — the evaluation-time histogram surface of
+    the reference's utils_plot (plot_hist family) with the semantics the tester
+    actually needs: how many points landed in each class and how confident the
+    model was about them."""
+    labels = np.asarray(labels).ravel()
+    ncols = 2 if probs is not None else 1
+    fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4), tight_layout=True)
+    axes = np.atleast_1d(axes)
+    counts = [(labels == c).sum() for c in range(len(class_names))]
+    colors = [CLASS_COLORS.get(c, "#333333") for c in range(len(class_names))]
+    axes[0].bar(range(len(class_names)), counts, color=colors)
+    axes[0].set_xticks(range(len(class_names)))
+    axes[0].set_xticklabels(class_names, rotation=30, ha="right")
+    axes[0].set_ylabel("points")
+    axes[0].set_title("points per class")
+    if probs is not None:
+        probs = np.asarray(probs, np.float32)
+        conf = probs[np.arange(len(labels)), np.clip(labels, 0, probs.shape[1] - 1)]
+        for c, name in enumerate(class_names):
+            m = labels == c
+            if m.any():
+                axes[1].hist(conf[m], bins=25, range=(0, 1), histtype="step",
+                             label=name, color=colors[c])
+        axes[1].set_xlabel("prediction confidence")
+        axes[1].set_ylabel("points")
+        axes[1].set_yscale("log")
+        axes[1].legend(fontsize=7)
+        axes[1].set_title("confidence by predicted class")
+    if title:
+        fig.suptitle(title)
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def plot_class_counts(
+    counts_by_series: dict,  # e.g. {"ground truth": [..], "predicted": [..]}
+    class_names: Sequence[str] = SEG_CLASS_NAMES,
+    title: Optional[str] = None,
+    save_to: Optional[str] = None,
+):
+    """Grouped per-class point-count bars (dataset-level GT-vs-predicted class
+    balance — the aggregate view of the reference's per-cloud plot_hist calls)."""
+    fig, ax = plt.subplots(figsize=(7, 4), tight_layout=True)
+    n_series = max(len(counts_by_series), 1)
+    width = 0.8 / n_series
+    xs = np.arange(len(class_names))
+    for i, (name, counts) in enumerate(counts_by_series.items()):
+        ax.bar(xs + (i - (n_series - 1) / 2) * width, counts[:len(class_names)],
+               width=width, label=name)
+    ax.set_xticks(xs)
+    ax.set_xticklabels(class_names, rotation=30, ha="right")
+    ax.set_ylabel("points")
+    ax.set_yscale("log")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
+def log_histogram_to_tensorboard(logger, tag: str, values: np.ndarray, step: int) -> None:
+    """Native TB histogram through a MetricsLogger's writer (the reference calls
+    plt.hist + savefig; TB's add_histogram is the idiomatic equivalent)."""
+    if getattr(logger, "_tb", None) is not None:
+        logger._tb.add_histogram(tag, np.asarray(values).ravel(), step)
+
+
 def log_figure_to_tensorboard(logger, tag: str, fig, step: int) -> None:
     """Write a matplotlib figure into a MetricsLogger's TensorBoard stream
     (reference plot_pc_tensorboard, utils_plot.py:174-204)."""

@@ -347,6 +347,8 @@ def evaluate_dataset(
     num_classes = inferencer.cfg.model.num_classes
     rows: List[Dict] = []
     total_cm = np.zeros((num_classes, num_classes))
+    gt_counts = np.zeros(num_classes, np.int64)
+    pred_counts = np.zeros(num_classes, np.int64)
     t0 = time.time()
     n_points_total = 0
     for start in range(0, len(dataset), chunk_size):
@@ -359,16 +361,31 @@ def evaluate_dataset(
             total_cm += m.pop("confusion")
             n_points_total += len(preds)
             rows.append({"name": sample["name"], **m})
+            if plot_dir:
+                labels_np = np.asarray(sample["labels"]).astype(np.int64).ravel()
+                valid_lbl = (labels_np >= 0) & (labels_np < num_classes)
+                gt_counts += np.bincount(labels_np[valid_lbl], minlength=num_classes)
+                pred_counts += np.bincount(
+                    np.asarray(preds).ravel(), minlength=num_classes
+                )[:num_classes]
             if plot_dir and i < plot_limit:
                 import os
 
-                from ampnet_tpu.core.plotting import plot_predictions_vs_truth
+                from ampnet_tpu.core.plotting import (
+                    plot_class_histograms,
+                    plot_predictions_vs_truth,
+                )
 
                 os.makedirs(plot_dir, exist_ok=True)
                 plot_predictions_vs_truth(
                     sample["points"][:, :3], preds, sample["labels"],
                     save_to=os.path.join(plot_dir, f"{sample['name']}.png"),
                     title=sample["name"],
+                )
+                plot_class_histograms(
+                    preds,
+                    save_to=os.path.join(plot_dir, f"{sample['name']}_hist.png"),
+                    title=f"{sample['name']} predicted class counts",
                 )
         del chunk, chunk_preds
     elapsed = time.time() - t0
@@ -389,6 +406,17 @@ def evaluate_dataset(
         "points_per_sec": round(n_points_total / max(elapsed, 1e-9), 1),
         "n_clouds": len(rows),
     }
+    if plot_dir and rows:
+        import os
+
+        from ampnet_tpu.core.plotting import plot_class_counts
+
+        os.makedirs(plot_dir, exist_ok=True)
+        plot_class_counts(
+            {"ground truth": gt_counts, "predicted": pred_counts},
+            save_to=os.path.join(plot_dir, "class_counts.png"),
+            title=f"{model_name}: dataset class balance (GT vs predicted)",
+        )
     if out_csv:
         append_results_csv(out_csv, summary)
     return {"summary": summary, "per_cloud": rows}

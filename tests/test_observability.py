@@ -28,6 +28,41 @@ class TestPlotting:
         p = plot_windows(pts, assign, save_to=str(tmp_path / "w.png"))
         assert os.path.getsize(p) > 1000
 
+    def test_histograms(self, tmp_path, rng):
+        from ampnet_tpu.core.plotting import (
+            plot_class_counts,
+            plot_class_histograms,
+            plot_histogram,
+            plot_histogram_2d,
+        )
+
+        p = plot_histogram(rng.normal(size=1000), save_to=str(tmp_path / "h.png"))
+        assert os.path.getsize(p) > 1000
+        p = plot_histogram_2d(rng.uniform(size=500), rng.uniform(size=500),
+                              save_to=str(tmp_path / "h2.png"))
+        assert os.path.getsize(p) > 1000
+        labels = rng.integers(0, 5, 2000)
+        probs = rng.dirichlet(np.ones(5), 2000).astype(np.float32)
+        p = plot_class_histograms(labels, probs, save_to=str(tmp_path / "ch.png"))
+        assert os.path.getsize(p) > 1000
+        p = plot_class_histograms(labels, save_to=str(tmp_path / "ch2.png"))
+        assert os.path.getsize(p) > 1000
+        p = plot_class_counts(
+            {"gt": np.bincount(labels, minlength=5),
+             "pred": np.bincount(labels[::-1], minlength=5)},
+            save_to=str(tmp_path / "cc.png"),
+        )
+        assert os.path.getsize(p) > 1000
+
+    def test_tb_histogram_writer(self, tmp_path, rng):
+        from ampnet_tpu.core.logging import MetricsLogger
+        from ampnet_tpu.core.plotting import log_histogram_to_tensorboard
+
+        lg = MetricsLogger(str(tmp_path), "t")
+        log_histogram_to_tensorboard(lg, "conf", rng.uniform(size=256), 1)
+        lg.close()
+        assert any(f.startswith("events") for f in os.listdir(tmp_path / "t"))
+
     def test_training_curves(self, tmp_path):
         csv = tmp_path / "scalars.csv"
         csv.write_text(

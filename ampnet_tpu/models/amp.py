@@ -163,19 +163,21 @@ class GRUContext(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:  # [B, W, H]
         cfg = self.cfg
-        # lifted scan over the window axis (plain lax.scan would leak module tracers)
-        ScanGRU = nn.scan(
-            nn.GRUCell,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )
-        cell = ScanGRU(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
+        # UNROLLED shared cell over the window axis (round 3). This was a lifted
+        # nn.scan; on this toolchain's remote-relay compiler the scanned-loop
+        # programs were the slowest compiles in the repo (221 s first-epoch for
+        # the 25-window test geometry, docs/design.md) while W <= 25 makes the
+        # unrolled body trivially small. The unrolled cell produces the IDENTICAL
+        # param tree ({'gru': {...GRUCell...}}) and identical outputs (tested),
+        # so existing checkpoints and the torch importer are unaffected.
+        cell = nn.GRUCell(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
         b = global_feats.shape[0]
         carry = jnp.zeros((b, cfg.gru_hidden), global_feats.dtype)
-        _, ys = cell(carry, global_feats)
-        return ys
+        ys = []
+        for w in range(global_feats.shape[1]):
+            carry, y = cell(carry, global_feats[:, w])
+            ys.append(y)
+        return jnp.stack(ys, axis=1)
 
 
 class SegmentationHead(nn.Module):

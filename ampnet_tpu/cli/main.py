@@ -184,6 +184,7 @@ def _build_cfg(args):
             epochs=args.epochs,
             weighing_method=args.weighing_method,
             seed=args.seed,
+            grad_accum=getattr(args, "grad_accum", 1) or 1,
         ),
     )
 
@@ -731,6 +732,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel device count (batch axis sharded over a Mesh)")
     s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",
                    help="'window' = per-window (instance-norm-style) statistics")
+    s.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer update (memory lever for "
+                        "large batches; batch_size must divide evenly)")
     s.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="compute dtype (params stay fp32); bfloat16 measured "
                         "+57%% train throughput on one v5e")

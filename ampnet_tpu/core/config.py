@@ -122,6 +122,10 @@ class TrainConfig:
     augmentations: Tuple[str, ...] = ("shuffle_windows", "rotate_z")
     # data-parallel device count hint (1 = single chip); the mesh is built at runtime
     num_devices: int = 1
+    # split each batch into K micro-batches with one accumulated optimizer
+    # update — a memory lever for batches whose residuals exceed HBM
+    # (train/step.py grad_accum path; docs/design.md batch-scaling study)
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

@@ -65,12 +65,24 @@ def _forward(state, params, batch_stats, batch, cfg: AMPNetConfig, train, dropou
 def make_step_fns(
     cfg: AMPNetConfig,
     augment: bool = True,
+    grad_accum: int = 0,  # 0 → cfg.train.grad_accum
 ) -> Tuple[Callable, Callable]:
-    """Build jitted (train_step, eval_step) closures over the config."""
+    """Build jitted (train_step, eval_step) closures over the config.
+
+    ``grad_accum=K`` splits each batch into K equal micro-batches, lax.scans the
+    forward+backward over them accumulating gradients (and chaining BatchNorm
+    running stats), and applies ONE Adam update on the averaged gradients — the
+    memory footprint of batch B/K with the optimizer semantics of batch B
+    (equal-size micro-batches make the gradient average exact). A memory lever
+    for batch sizes whose stored residuals exceed HBM (docs/design.md
+    batch-scaling study)."""
 
     class_weights = jnp.asarray(cfg.train.class_weights, jnp.float32)
     reg_w = cfg.train.reg_weight
     num_classes = cfg.model.num_classes
+    grad_accum = grad_accum or getattr(cfg.train, "grad_accum", 1)
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     recipe = tuple(cfg.train.augmentations) if augment else ()
 
@@ -108,25 +120,66 @@ def make_step_fns(
         if centroids is not None:
             aug["centroids"] = centroids
 
-        def loss_fn(params):
-            logits, t_feat, new_stats = _forward(
-                state, params, state.batch_stats, aug, cfg, True, k_drop
-            )
-            ce = weighted_cross_entropy(
-                logits, aug["labels"], class_weights, cfg.train.ignore_index
-            )
-            reg = orthogonality_regularizer(t_feat)
-            loss = ce + reg_w * reg
-            return loss, (ce, reg, logits, new_stats)
+        def loss_and_grads(params, bstats, mb, k_drop_i):
+            def loss_fn(p):
+                logits, t_feat, new_stats = _forward(
+                    state, p, bstats, mb, cfg, True, k_drop_i
+                )
+                ce = weighted_cross_entropy(
+                    logits, mb["labels"], class_weights, cfg.train.ignore_index
+                )
+                reg = orthogonality_regularizer(t_feat)
+                return ce + reg_w * reg, (ce, reg, logits, new_stats)
 
-        (loss, (ce, reg, logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if grad_accum == 1:
+            (loss, (ce, reg, logits, new_stats)), grads = loss_and_grads(
+                state.params, state.batch_stats, aug, k_drop
+            )
+            cm = confusion_matrix(jnp.argmax(logits, axis=-1), aug["labels"], num_classes)
+        else:
+            b = aug["points"].shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch {b} not divisible by grad_accum {grad_accum}")
+            micro = {
+                k: v.reshape((grad_accum, b // grad_accum) + v.shape[1:])
+                for k, v in aug.items()
+                if hasattr(v, "reshape")
+            }
+            drop_keys = jax.random.split(k_drop, grad_accum)
+
+            def body(carry, xs):
+                bstats, gacc, lacc, ceacc, regacc, cmacc = carry
+                mb, k_i = xs
+                (l, (ce_i, reg_i, logits, new_stats)), g = loss_and_grads(
+                    state.params, bstats, mb, k_i
+                )
+                cm_i = confusion_matrix(
+                    jnp.argmax(logits, axis=-1), mb["labels"], num_classes
+                )
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (new_stats, gacc, lacc + l, ceacc + ce_i, regacc + reg_i,
+                        cmacc + cm_i), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            z = jnp.float32(0.0)
+            init = (state.batch_stats, zero_g, z, z, z,
+                    jnp.zeros((num_classes, num_classes), jnp.float32))
+            (new_stats, gsum, lsum, cesum, regsum, cm), _ = jax.lax.scan(
+                body, init, (micro, drop_keys)
+            )
+            k = jnp.float32(grad_accum)
+            grads = jax.tree.map(lambda g: g / k, gsum)
+            loss, ce, reg = lsum / k, cesum / k, regsum / k
+
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-
-        preds = jnp.argmax(logits, axis=-1)
-        cm = confusion_matrix(preds, aug["labels"], num_classes)
-        metrics = {"loss": loss, "ce_loss": ce, "reg_loss": reg, "confusion": cm}
+        # global gradient norm: observability + the only step output through
+        # which gradient mis-scaling is testable (Adam updates are invariant
+        # to gradient scale at step 1)
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
+        metrics = {"loss": loss, "ce_loss": ce, "reg_loss": reg, "confusion": cm,
+                   "grad_norm": gn}
         return new_state, metrics
 
     @jax.jit

@@ -34,6 +34,76 @@ def test_window_pad_mask():
     np.testing.assert_array_equal(np.asarray(mask), [[False, True, False]])
 
 
+def test_grad_accum_matches_manual_two_micro_accumulation(cfg, setup):
+    """The grad_accum=2 step must equal an explicit two-micro-batch loop:
+    per-micro grads with sequentially chained BN statistics, averaged, applied
+    through the same optimizer. (Comparing against the plain full-batch step is
+    NOT meaningful through Adam: it normalizes the update to ~sign(g)*lr, which
+    both hides gradient mis-scaling and amplifies reassociation noise on
+    near-zero grads — see tests/test_parallel.py's same caveat.)"""
+    _, _, batch = setup
+    cfg_nodrop = AMPNetConfig(model=ModelConfig(dropout=0.0),
+                              train=TrainConfig(learning_rate=5e-3))
+    model = AMPNetSegmenter(cfg_nodrop.model)  # dropout must be off for exactness
+    state = create_train_state(cfg_nodrop, model, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=1)
+    half_b = {k: v[::-1] for k, v in batch.items()}
+    half_b["points"] = half_b["points"] + 0.1  # heterogeneous micro statistics
+    halves = [batch, half_b]
+    dup = {k: jnp.concatenate([halves[0][k], halves[1][k]], axis=0)
+           for k in batch}
+
+    from ampnet_tpu.train.losses import (
+        orthogonality_regularizer,
+        weighted_cross_entropy,
+    )
+
+    cw = jnp.asarray(cfg_nodrop.train.class_weights, jnp.float32)
+
+    def micro_grads(params, bstats, mb):
+        def lf(p):
+            (logits, t_feat, _), upd = state.apply_fn(
+                {"params": p, "batch_stats": bstats},
+                mb["points"], mb["centroids"],
+                window_pad_mask_from_labels(mb["labels"]), None,
+                train=True, mutable=["batch_stats"],
+            )
+            ce = weighted_cross_entropy(logits, mb["labels"], cw, -1)
+            return ce + cfg_nodrop.train.reg_weight * orthogonality_regularizer(t_feat), upd
+
+        (loss, upd), g = jax.value_and_grad(lf, has_aux=True)(params)
+        return loss, g, upd["batch_stats"]
+
+    l1, g1, bs1 = micro_grads(state.params, state.batch_stats, halves[0])
+    l2, g2, bs2 = micro_grads(state.params, bs1, halves[1])
+    gavg = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    manual = clone_state(state).apply_gradients(grads=gavg, batch_stats=bs2)
+
+    step2, _ = make_step_fns(cfg_nodrop, augment=False, grad_accum=2)
+    s2, m2 = step2(clone_state(state), dup)
+
+    assert float(m2["loss"]) == pytest.approx(float((l1 + l2) / 2), rel=1e-5)
+    # BN running stats must chain micro-sequentially (bs0 -> bs1 -> bs2)
+    sdiffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                          s2.batch_stats, manual.batch_stats)
+    # ~1e-4 reassociation noise between the eager per-micro forwards and the
+    # fused lax.scan program (BN mean/var reductions associate differently)
+    assert max(jax.tree.leaves(sdiffs)) < 1e-3
+    # gradient magnitude through the only scale-sensitive step output
+    # (post-Adam params are scale-invariant AND amplify reassociation noise on
+    # near-zero grads into ±lr flips — unusable for this comparison)
+    gn_manual = float(jnp.sqrt(sum(
+        jnp.sum(jnp.square(g)) for g in jax.tree.leaves(gavg))))
+    assert float(m2["grad_norm"]) == pytest.approx(gn_manual, rel=1e-4)
+
+
+def test_grad_accum_rejects_indivisible_batch(cfg, setup):
+    _, state, batch = setup
+    step3, _ = make_step_fns(cfg, augment=False, grad_accum=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        step3(clone_state(state), batch)  # batch of 2, accum 3
+
+
 def test_train_step_runs_and_learns(cfg, setup):
     model, state, batch = setup
     state = clone_state(state)

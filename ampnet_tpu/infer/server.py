@@ -49,6 +49,11 @@ class ServingStats:
         self._lat: List[float] = []  # bounded reservoir of recent WARM latencies
         self.cold_requests = 0  # first-per-bucket requests (paid a jit compile)
         self._cold_lat_max = 0.0
+        self._decode_s = self._encode_s = self._device_s = 0.0
+        self._decode_n = 0
+        self._batches = 0
+        self._batch_clouds = 0
+        self._batch_points = 0
 
     def record(self, n_clouds: int, n_points: int, latency_s: float,
                cold: bool = False) -> None:
@@ -71,6 +76,26 @@ class ServingStats:
         with self._lock:
             self.errors += 1
 
+    # decomposition counters (where does a point's wall time go?): HTTP decode,
+    # device batch (dispatch -> fetch complete, includes device queueing), and
+    # response encode. Exposed in /v1/stats so the serving-gap analysis
+    # (docs/design.md) is measurable in production, not just in benchmarks.
+    def record_decode(self, seconds: float) -> None:
+        with self._lock:
+            self._decode_s += seconds
+            self._decode_n += 1
+
+    def record_encode(self, seconds: float) -> None:
+        with self._lock:
+            self._encode_s += seconds
+
+    def record_batch(self, n_clouds: int, n_points: int, device_s: float) -> None:
+        with self._lock:
+            self._batches += 1
+            self._batch_clouds += n_clouds
+            self._batch_points += n_points
+            self._device_s += device_s
+
     def snapshot(self) -> Dict:
         with self._lock:
             lat = sorted(self._lat)
@@ -92,6 +117,24 @@ class ServingStats:
                 },
                 "cold_requests": self.cold_requests,
                 "cold_latency_max_s": round(self._cold_lat_max, 3) or None,
+                "breakdown": {
+                    "decode_s_total": round(self._decode_s, 4),
+                    "encode_s_total": round(self._encode_s, 4),
+                    "device_s_total": round(self._device_s, 4),
+                    "device_batches": self._batches,
+                    "batch_clouds_mean": (
+                        round(self._batch_clouds / self._batches, 2)
+                        if self._batches else None
+                    ),
+                    "batch_points_mean": (
+                        round(self._batch_points / self._batches, 1)
+                        if self._batches else None
+                    ),
+                    "device_points_per_sec": (
+                        round(self._batch_points / self._device_s, 1)
+                        if self._device_s > 0 else None
+                    ),
+                },
             }
 
 
@@ -205,7 +248,8 @@ class PredictionService:
                 handle = self.inferencer.dispatch_many(
                     clouds, seeds=[0] * len(clouds), return_probs=want_probs
                 )
-                dispatched.append((group, handle))
+                meta = (len(clouds), sum(c.shape[0] for c in clouds), time.time())
+                dispatched.append((group, handle, meta))
             except Exception as e:
                 for j in group:
                     j.error = e
@@ -213,9 +257,10 @@ class PredictionService:
         return dispatched
 
     def _complete(self, dispatched) -> None:
-        for group, handle in dispatched:
+        for group, handle, meta in dispatched:
             try:
                 outs = self.inferencer.fetch_many(handle)
+                self.stats.record_batch(meta[0], meta[1], time.time() - meta[2])
                 i = 0
                 for j in group:
                     j.result = outs[i : i + len(j.clouds)]
@@ -242,7 +287,7 @@ class PredictionService:
                 in_flight = dispatched
             except BaseException as e:  # keep the worker alive: a dead worker
                 # would hang every future request on an unset event
-                for j in jobs + [j for g, _ in in_flight for j in g]:
+                for j in jobs + [j for g, _, _ in in_flight for j in g]:
                     if not j.event.is_set():
                         j.error = j.error or RuntimeError(f"serving worker error: {e!r}")
                         j.event.set()
@@ -332,13 +377,20 @@ def make_handler(service: PredictionService, model_name: str):
                               f"(got {len(raw)} bytes)"},
                 )
                 return
+            t0 = time.time()
             pts = np.frombuffer(raw, dtype=dtype).reshape(-1, n_feat).astype(np.float32)
+            service.stats.record_decode(time.time() - t0)
             (labels,) = service.predict([pts], probs=False)
-            self._send(200, np.asarray(labels, np.int8).tobytes(), "application/octet-stream")
+            t0 = time.time()
+            body = np.asarray(labels, np.int8).tobytes()
+            service.stats.record_encode(time.time() - t0)
+            self._send(200, body, "application/octet-stream")
 
         def _handle_json(self, raw: bytes) -> None:
+            t0 = time.time()
             req = json.loads(raw.decode())
             clouds = [np.asarray(c, np.float32) for c in req.get("clouds", [])]
+            service.stats.record_decode(time.time() - t0)
             if not clouds:
                 self._send_json(400, {"error": "no clouds in request"})
                 return
@@ -354,6 +406,7 @@ def make_handler(service: PredictionService, model_name: str):
                 clouds = [normalize_xy_neg_one(c) for c in clouds]
             probs = bool(req.get("probs", False))
             outs = service.predict(clouds, probs=probs)
+            t0 = time.time()
             if probs:
                 body = {
                     "labels": [np.asarray(p, int).tolist() for p, _ in outs],
@@ -361,6 +414,7 @@ def make_handler(service: PredictionService, model_name: str):
                 }
             else:
                 body = {"labels": [np.asarray(p, int).tolist() for p in outs]}
+            service.stats.record_encode(time.time() - t0)
             self._send_json(200, body)
 
     return Handler

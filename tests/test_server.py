@@ -168,6 +168,9 @@ def test_stats(server):
     # out of the latency quantile reservoir
     assert s["cold_requests"] >= 1
     assert s["cold_requests"] + len([1]) <= s["requests"] + 1
+    bd = s["breakdown"]
+    assert bd["device_batches"] >= 1 and bd["device_s_total"] > 0
+    assert bd["batch_clouds_mean"] >= 1 and bd["device_points_per_sec"] > 0
 
 
 def test_cold_requests_excluded_from_reservoir():

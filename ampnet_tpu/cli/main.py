@@ -197,6 +197,17 @@ def cmd_train(args) -> int:
     from ampnet_tpu.train.trainer import Trainer
 
     cfg = _build_cfg(args)
+    grad_accum = cfg.train.grad_accum
+    if grad_accum > 1 and args.batch_size % grad_accum:
+        print(f"--batch_size {args.batch_size} must be divisible by "
+              f"--grad_accum {grad_accum} (equal micro-batches keep the "
+              "accumulated gradient exact)", file=sys.stderr)
+        return 1
+    # short/ragged batches must stay divisible by grad_accum too — fold it
+    # into the pad multiple alongside the device count
+    import math
+
+    pad_multiple = math.lcm(args.num_devices, grad_accum)
     lists = _load_lists(args.path_list_files, args.task)
     if not lists["train"]:
         print("empty train list", file=sys.stderr)
@@ -218,7 +229,7 @@ def cmd_train(args) -> int:
             ds, args.batch_size, n_points=args.number_of_points,
             max_windows=args.number_of_windows, seed=seed,
             drop_last=len(ds) >= args.batch_size,
-            pad_to_multiple=args.num_devices,
+            pad_to_multiple=pad_multiple,
         )
     else:
         train_ds = CloudDataset(args.dataset_path, lists["train"],
@@ -231,7 +242,7 @@ def cmd_train(args) -> int:
         mk_batch = lambda ds, seed: SingleCloudBatcher(
             ds, args.batch_size, n_points=args.number_of_points, seed=seed,
             drop_last=len(ds) >= args.batch_size,
-            pad_to_multiple=args.num_devices,
+            pad_to_multiple=pad_multiple,
         )
 
     mesh = None

@@ -139,7 +139,7 @@ class ServingStats:
 
 
 class _Job:
-    __slots__ = ("clouds", "probs", "event", "result", "error")
+    __slots__ = ("clouds", "probs", "event", "result", "error", "cold")
 
     def __init__(self, clouds: List[np.ndarray], probs: bool):
         self.clouds = clouds
@@ -147,6 +147,10 @@ class _Job:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
+        # set by the worker at dispatch time: this job's micro-batch ran a
+        # program shape for the first time, so its latency includes the jit
+        # compile (minutes through this environment's relay)
+        self.cold = False
 
 
 class PredictionService:
@@ -167,10 +171,6 @@ class PredictionService:
         self.batch_window_s = batch_window_ms / 1e3
         self.max_batch_clouds = max_batch_clouds
         self.stats = ServingStats()
-        # program buckets already exercised (warmup or traffic): requests that
-        # touch a new bucket pay its compile and are tagged cold for stats
-        self._warm_buckets: set = set()
-        self._bucket_key = getattr(inferencer, "bucket_key", None)
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -188,9 +188,6 @@ class PredictionService:
         if self._stop.is_set():
             raise RuntimeError("PredictionService is closed")
         t0 = time.time()
-        keys = ({self._bucket_key(c.shape[0]) for c in clouds}
-                if self._bucket_key else set())
-        cold = bool(keys - self._warm_buckets)
         job = _Job(clouds, probs)
         self._q.put(job)
         if self._stop.is_set() and not job.event.is_set():
@@ -201,9 +198,11 @@ class PredictionService:
         job.event.wait()
         if job.error is not None:
             raise job.error
-        self._warm_buckets |= keys
+        # cold is decided by the worker at dispatch time from the
+        # inferencer's own compiled-shape ledger — it covers probs variants,
+        # new micro-batch sizes, and mega-cloud split halves, not just (k, cap)
         self.stats.record(len(clouds), sum(c.shape[0] for c in clouds),
-                          time.time() - t0, cold=cold)
+                          time.time() - t0, cold=job.cold)
         return job.result
 
     # -- worker --------------------------------------------------------------
@@ -248,6 +247,11 @@ class PredictionService:
                 handle = self.inferencer.dispatch_many(
                     clouds, seeds=[0] * len(clouds), return_probs=want_probs
                 )
+                if handle.get("cold"):
+                    # every request co-batched with a first-time program shape
+                    # waits out that compile — tag them all
+                    for j in group:
+                        j.cold = True
                 meta = (len(clouds), sum(c.shape[0] for c in clouds), time.time())
                 dispatched.append((group, handle, meta))
             except Exception as e:
@@ -454,9 +458,9 @@ class InferenceServer:
         n_feat = _feature_count(self.service)
         for n in sizes:
             pts = rng.normal(size=(int(n), n_feat)).astype(np.float32)
+            # the inferencer's compiled-shape ledger marks the programs warm
+            # as a side effect, so later traffic on them is not tagged cold
             self.service.inferencer.predict_many([pts], seeds=[0])
-            if self.service._bucket_key:
-                self.service._warm_buckets.add(self.service._bucket_key(int(n)))
 
     def serve_forever(self) -> None:
         try:

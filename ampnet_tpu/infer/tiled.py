@@ -90,9 +90,32 @@ class TiledInferencer:
         if mesh is not None:
             self.variables = _replicate_variables(variables, mesh)
         self._fns: Dict[tuple, callable] = {}
+        # every (k, cap, probs, batch) shape that has executed at least once.
+        # jax compiles per input SHAPE, so warmth is a property of this full
+        # tuple, not just (k, cap): serving uses the monotone cold counter to
+        # tag compile-bearing requests (infer/server.py), covering probs
+        # variants, new batch sizes, and mega-cloud split halves alike.
+        self._warm_shapes: set = set()
+        self._cold_count: int = 0
         from ampnet_tpu.models.backends import make_forward
 
         self._forward = make_forward(model, cfg, backend)
+
+    def _mark_program(self, k: int, cap: int, probs: bool, b: int) -> bool:
+        """Record that the (k, cap, probs, batch) program shape is about to
+        run; True (and counter bump) on its first execution — the call that
+        pays the jit compile."""
+        key = (k, cap, bool(probs), int(b))
+        if key in self._warm_shapes:
+            return False
+        self._warm_shapes.add(key)
+        self._cold_count += 1
+        return True
+
+    @property
+    def cold_programs_seen(self) -> int:
+        """Monotone count of program shapes compiled so far (serving stats)."""
+        return self._cold_count
 
     def _cap_for(self, n: int, k: int) -> int:
         """Static per-cluster capacity: smallest ``n_points * 2**j >= ceil(n/k)``.
@@ -171,11 +194,12 @@ class TiledInferencer:
         return run
 
     def bucket_key(self, n: int) -> tuple:
-        """(k, cap) program-bucket key an n-point cloud resolves to. Serving uses
-        this to tag first-per-bucket requests, whose latency includes the cold
-        compile (minutes through this relay), so /v1/stats quantiles reflect the
-        warm steady state. Mega-clouds report the key of their spatially-halved
-        pieces (the bucket the recursion bottoms out in)."""
+        """(k, cap) program-bucket key an n-point cloud resolves to —
+        informational (e.g. choosing --warmup sizes). Serving cold-tagging
+        uses the full compiled-shape ledger instead (``_mark_program``): jit
+        warmth also depends on the probs variant and the batch dimension.
+        Mega-clouds report the key of their LARGER spatially-halved piece
+        (the recursion visits both halves; the smaller may differ)."""
         n = max(int(n), 1)
         while n > self.max_points_per_call:
             n -= n // 2  # the larger half of the recursive split
@@ -213,6 +237,7 @@ class TiledInferencer:
         dup = rng.integers(0, n, k * cap - n)  # k*cap >= n by construction
         padded = np.concatenate([points9, points9[dup]], axis=0)
         run = self._bucket_fn(k, cap, probs=return_probs)
+        self._mark_program(k, cap, return_probs, 1)
         out = run(
             self.variables,
             jnp.asarray(padded.astype(self.transfer_dtype))[None],
@@ -240,6 +265,7 @@ class TiledInferencer:
         results = [None] * len(clouds)
         buckets: Dict[tuple, list] = {}
         prepped = {}
+        cold_before = self._cold_count
         for i, pc in enumerate(clouds):
             n = pc.shape[0]
             if n > self.max_points_per_call:  # mega-clouds go down the
@@ -271,6 +297,7 @@ class TiledInferencer:
             keys = [jax.random.PRNGKey(seeds[i]) for i in idxs] + [
                 jax.random.PRNGKey(0)
             ] * (b_pad - b)
+            self._mark_program(k, cap, return_probs, b_pad)
             calls.append((idxs, run, rows, keys))
 
         def launch(call):
@@ -294,6 +321,11 @@ class TiledInferencer:
             "pending": pending,
             "sizes": {i: prepped[i][1] for i in prepped},
             "return_probs": return_probs,
+            # any program shape in this dispatch compiled for the first time
+            # (incl. inside mega-cloud recursion) — serving tags the whole
+            # micro-batch cold, since every co-batched request's latency
+            # includes that compile wait
+            "cold": self._cold_count > cold_before,
         }
 
     def fetch_many(self, handle: dict) -> list:
@@ -365,8 +397,10 @@ def evaluate_dataset(
                 labels_np = np.asarray(sample["labels"]).astype(np.int64).ravel()
                 valid_lbl = (labels_np >= 0) & (labels_np < num_classes)
                 gt_counts += np.bincount(labels_np[valid_lbl], minlength=num_classes)
+                # same valid mask both sides: predictions on ignore-labeled
+                # points would otherwise inflate the predicted bars only
                 pred_counts += np.bincount(
-                    np.asarray(preds).ravel(), minlength=num_classes
+                    np.asarray(preds).ravel()[valid_lbl], minlength=num_classes
                 )[:num_classes]
             if plot_dir and i < plot_limit:
                 import os

@@ -57,8 +57,9 @@ def _pick_block_windows(m: int, n: int, cmax: int, dtype_bytes: int = 4) -> int:
     per_window = n * max(cmax, 128) * dtype_bytes * 2
     # callers pad m up to a multiple of g (at most g-1 garbage windows), so no
     # divisibility constraint here — shrinking g toward 1 for awkward m would
-    # explode the grid into per-window programs
-    return min(8, max(1, budget // max(per_window, 1)))
+    # explode the grid into per-window programs. Capped at m: g > m would pad
+    # a small call (whole-cloud eval dispatches m=1) up to pure garbage rows.
+    return min(8, m, max(1, budget // max(per_window, 1)))
 
 
 @functools.partial(

@@ -19,12 +19,19 @@ from typing import Optional
 import jax.numpy as jnp
 
 
-def weighted_cross_entropy(
+def weighted_cross_entropy_parts(
     logits: jnp.ndarray,  # [..., C]
     targets: jnp.ndarray,  # [...], int, ignore_index marks padding
     class_weights: Optional[jnp.ndarray] = None,  # [C]
     ignore_index: int = -1,
-) -> jnp.ndarray:
+) -> tuple:
+    """(numerator, weight_sum) of the torch weighted mean: ``Σ ce·w`` and ``Σ w``.
+
+    Exposed separately so gradient accumulation can normalize every micro-batch
+    by the GLOBAL weight sum (train/step.py): the weight sum depends only on the
+    targets, so it is known before any forward pass, and ``Σ_k ∇(N_k / W_total)``
+    is exactly the full-batch CE gradient even when micro-batches carry unequal
+    valid-weight mass."""
     num_classes = logits.shape[-1]
     logits = logits.reshape(-1, num_classes).astype(jnp.float32)
     targets = targets.reshape(-1)
@@ -41,7 +48,32 @@ def weighted_cross_entropy(
         w = valid.astype(jnp.float32)
     else:
         w = jnp.take(class_weights.astype(jnp.float32), safe_t) * valid.astype(jnp.float32)
-    return (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
+    return (ce * w).sum(), w.sum()
+
+
+def cross_entropy_weight_sum(
+    targets: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    """The denominator of the torch weighted mean, from targets alone."""
+    targets = targets.reshape(-1)
+    valid = targets != ignore_index
+    if class_weights is None:
+        return valid.astype(jnp.float32).sum()
+    safe_t = jnp.where(valid, targets, 0)
+    w = jnp.take(class_weights.astype(jnp.float32), safe_t) * valid.astype(jnp.float32)
+    return w.sum()
+
+
+def weighted_cross_entropy(
+    logits: jnp.ndarray,  # [..., C]
+    targets: jnp.ndarray,  # [...], int, ignore_index marks padding
+    class_weights: Optional[jnp.ndarray] = None,  # [C]
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    num, den = weighted_cross_entropy_parts(logits, targets, class_weights, ignore_index)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def orthogonality_regularizer(transforms: jnp.ndarray) -> jnp.ndarray:

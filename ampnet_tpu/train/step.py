@@ -27,7 +27,12 @@ from ampnet_tpu.ops.augment import (
     rotate_z,
     shuffle_windows,
 )
-from ampnet_tpu.train.losses import orthogonality_regularizer, weighted_cross_entropy
+from ampnet_tpu.train.losses import (
+    cross_entropy_weight_sum,
+    orthogonality_regularizer,
+    weighted_cross_entropy,
+    weighted_cross_entropy_parts,
+)
 from ampnet_tpu.train.state import AMPTrainState
 
 Batch = Dict[str, jnp.ndarray]
@@ -71,11 +76,17 @@ def make_step_fns(
 
     ``grad_accum=K`` splits each batch into K equal micro-batches, lax.scans the
     forward+backward over them accumulating gradients (and chaining BatchNorm
-    running stats), and applies ONE Adam update on the averaged gradients — the
-    memory footprint of batch B/K with the optimizer semantics of batch B
-    (equal-size micro-batches make the gradient average exact). A memory lever
-    for batch sizes whose stored residuals exceed HBM (docs/design.md
-    batch-scaling study)."""
+    running stats), and applies ONE Adam update — the memory footprint of batch
+    B/K with the optimizer semantics of batch B. The weighted-CE gradient is
+    EXACT, not approximate: each micro-batch's loss is its CE numerator over the
+    GLOBAL weight sum (computable from the labels before any forward), so
+    ``Σ_k ∇(N_k/W_total) = ∇(N/W_total)`` even when micro-batches carry unequal
+    valid-weight mass (padded windows, skewed class weights). The one term that
+    differs from the unaccumulated step is the ``reg_weight``-scaled (1e-3)
+    T-Net regularizer: a Frobenius norm is a sqrt of a sum, so accumulation uses
+    the mean of per-micro norms — same zero set, gradient direction differs only
+    in that term's positive per-micro scale. A memory lever for batch sizes
+    whose stored residuals exceed HBM (docs/design.md batch-scaling study)."""
 
     class_weights = jnp.asarray(cfg.train.class_weights, jnp.float32)
     reg_w = cfg.train.reg_weight
@@ -148,11 +159,35 @@ def make_step_fns(
                 if hasattr(v, "reshape")
             }
             drop_keys = jax.random.split(k_drop, grad_accum)
+            # global CE normalizer — label-only, so known before the scan;
+            # dividing every micro numerator by it makes Σ∇ the exact
+            # full-batch CE gradient (see the docstring above)
+            k = jnp.float32(grad_accum)
+            w_total = jnp.maximum(
+                cross_entropy_weight_sum(
+                    aug["labels"], class_weights, cfg.train.ignore_index
+                ),
+                1e-12,
+            )
+
+            def micro_loss_and_grads(params, bstats, mb, k_drop_i):
+                def loss_fn(p):
+                    logits, t_feat, new_stats = _forward(
+                        state, p, bstats, mb, cfg, True, k_drop_i
+                    )
+                    num, _ = weighted_cross_entropy_parts(
+                        logits, mb["labels"], class_weights, cfg.train.ignore_index
+                    )
+                    ce = num / w_total  # this micro's share of the batch CE
+                    reg = orthogonality_regularizer(t_feat)
+                    return ce + reg_w * reg / k, (ce, reg, logits, new_stats)
+
+                return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
             def body(carry, xs):
                 bstats, gacc, lacc, ceacc, regacc, cmacc = carry
                 mb, k_i = xs
-                (l, (ce_i, reg_i, logits, new_stats)), g = loss_and_grads(
+                (l, (ce_i, reg_i, logits, new_stats)), g = micro_loss_and_grads(
                     state.params, bstats, mb, k_i
                 )
                 cm_i = confusion_matrix(
@@ -166,12 +201,12 @@ def make_step_fns(
             z = jnp.float32(0.0)
             init = (state.batch_stats, zero_g, z, z, z,
                     jnp.zeros((num_classes, num_classes), jnp.float32))
-            (new_stats, gsum, lsum, cesum, regsum, cm), _ = jax.lax.scan(
+            (new_stats, grads, lsum, cesum, regsum, cm), _ = jax.lax.scan(
                 body, init, (micro, drop_keys)
             )
-            k = jnp.float32(grad_accum)
-            grads = jax.tree.map(lambda g: g / k, gsum)
-            loss, ce, reg = lsum / k, cesum / k, regsum / k
+            # micro losses are already globally normalized (CE) / K-scaled
+            # (reg), so the accumulated grads and sums need no rescaling
+            loss, ce, reg = lsum, cesum, regsum / k
 
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         # global gradient norm: observability + the only step output through

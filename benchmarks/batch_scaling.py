@@ -52,7 +52,31 @@ def parse_arm(spec: str):
     return batch, accum, dtype
 
 
-def measure(batch: int, accum: int, dtype, iters: int) -> dict:
+def cost_analysis(compiled) -> dict:
+    """XLA's own accounting for the roofline note (docs/design.md): total FLOPs
+    and HBM bytes accessed of an already-compiled executable, plus peak temp
+    memory. Takes the AOT ``Compiled`` object the timing loop itself ran, so
+    no second relay compile is paid."""
+    out = {}
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        out["flops"] = float(c.get("flops", -1))
+        out["bytes_accessed"] = float(c.get("bytes accessed", -1))
+        try:
+            m = compiled.memory_analysis()
+            out["temp_bytes"] = int(getattr(m, "temp_size_in_bytes", -1))
+            out["output_bytes"] = int(getattr(m, "output_size_in_bytes", -1))
+            out["argument_bytes"] = int(getattr(m, "argument_size_in_bytes", -1))
+        except Exception:
+            pass
+    except Exception as e:  # cost analysis is best-effort; keep the timing row
+        out["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return out
+
+
+def measure(batch: int, accum: int, dtype, iters: int, with_cost: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +97,12 @@ def measure(batch: int, accum: int, dtype, iters: int) -> dict:
     train_step, _ = make_step_fns(cfg, augment=True, grad_accum=accum)
 
     t0 = time.perf_counter()
+    compiled = None
+    if with_cost:
+        # AOT-compile once and time the SAME executable — cost_analysis then
+        # reads it back without a second relay compile
+        compiled = train_step.lower(state, data).compile()
+        train_step = compiled
     state, metrics = train_step(state, data)
     float(metrics["loss"])
     compile_s = time.perf_counter() - t0
@@ -86,8 +116,7 @@ def measure(batch: int, accum: int, dtype, iters: int) -> dict:
         state, metrics = train_step(state, data)
     float(metrics["loss"])  # chained state serializes; one fetch closes it
     dt = (time.perf_counter() - t0) / iters
-    del state, data, train_step
-    return {
+    row = {
         "batch": batch,
         "grad_accum": accum,
         "dtype": dtype or "float32",
@@ -95,12 +124,18 @@ def measure(batch: int, accum: int, dtype, iters: int) -> dict:
         "windows_per_sec": round(batch * WINDOWS / dt, 1),
         "compile_s": round(compile_s, 1),
     }
+    if compiled is not None:
+        row["cost"] = cost_analysis(compiled)
+    del state, data, train_step, compiled
+    return row
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--arms", nargs="*", default=DEFAULT_ARMS)
+    ap.add_argument("--cost_arms", nargs="*", default=["32", "32:bf16"],
+                    help="arms that also emit XLA cost/memory analysis")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +144,8 @@ def main():
     for spec in args.arms:
         batch, accum, dtype = parse_arm(spec)
         try:
-            row = measure(batch, accum, dtype, args.iters)
+            row = measure(batch, accum, dtype, args.iters,
+                          with_cost=spec in args.cost_arms)
         except Exception as e:  # OOM at a big batch is itself a result
             row = {"batch": batch, "grad_accum": accum,
                    "dtype": dtype or "float32",

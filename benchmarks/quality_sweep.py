@@ -12,7 +12,7 @@ Runs everything in ONE process so XLA program caches are shared across seeds
 Usage:
   python benchmarks/quality_sweep.py --data DIR --out results.jsonl \
       --families attention,gru,classic,pointnet2,cls --seeds 0,1,2,3,4 \
-      --epochs 80 [--dataset-seeds] [--scratch /tmp/qsweep]
+      --epochs 80 [--scratch /tmp/qsweep]
 
 Each row: {"family", "seed", "train_s", "eval_s", "summary": {iou_*, miou, oa}}
 (classification rows carry accuracy/F1/PR-AUC instead). Re-running with the same

@@ -54,10 +54,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     golden = _spawn(["--local_devices", "8"], golden_out)
 
     logs = []
-    for p in workers + [golden]:
-        out, _ = p.communicate(timeout=840)
-        logs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    try:
+        for p in workers + [golden]:
+            out, _ = p.communicate(timeout=840)
+            logs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    finally:
+        # a hung handshake must not leak spinning workers past the test
+        for p in workers + [golden]:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
 
     res = [json.load(open(o)) for o in outs]
     gold = json.load(open(golden_out))

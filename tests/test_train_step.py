@@ -54,11 +54,14 @@ def test_grad_accum_matches_manual_two_micro_accumulation(cfg, setup):
            for k in batch}
 
     from ampnet_tpu.train.losses import (
+        cross_entropy_weight_sum,
         orthogonality_regularizer,
-        weighted_cross_entropy,
+        weighted_cross_entropy_parts,
     )
 
     cw = jnp.asarray(cfg_nodrop.train.class_weights, jnp.float32)
+    # the accum step normalizes every micro CE by the GLOBAL weight sum
+    w_total = float(cross_entropy_weight_sum(dup["labels"], cw, -1))
 
     def micro_grads(params, bstats, mb):
         def lf(p):
@@ -68,21 +71,22 @@ def test_grad_accum_matches_manual_two_micro_accumulation(cfg, setup):
                 window_pad_mask_from_labels(mb["labels"]), None,
                 train=True, mutable=["batch_stats"],
             )
-            ce = weighted_cross_entropy(logits, mb["labels"], cw, -1)
-            return ce + cfg_nodrop.train.reg_weight * orthogonality_regularizer(t_feat), upd
+            num, _ = weighted_cross_entropy_parts(logits, mb["labels"], cw, -1)
+            reg = orthogonality_regularizer(t_feat)
+            return num / w_total + cfg_nodrop.train.reg_weight * reg / 2, upd
 
         (loss, upd), g = jax.value_and_grad(lf, has_aux=True)(params)
         return loss, g, upd["batch_stats"]
 
     l1, g1, bs1 = micro_grads(state.params, state.batch_stats, halves[0])
     l2, g2, bs2 = micro_grads(state.params, bs1, halves[1])
-    gavg = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    gavg = jax.tree.map(lambda a, b: a + b, g1, g2)
     manual = clone_state(state).apply_gradients(grads=gavg, batch_stats=bs2)
 
     step2, _ = make_step_fns(cfg_nodrop, augment=False, grad_accum=2)
     s2, m2 = step2(clone_state(state), dup)
 
-    assert float(m2["loss"]) == pytest.approx(float((l1 + l2) / 2), rel=1e-5)
+    assert float(m2["loss"]) == pytest.approx(float(l1 + l2), rel=1e-5)
     # BN running stats must chain micro-sequentially (bs0 -> bs1 -> bs2)
     sdiffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                           s2.batch_stats, manual.batch_stats)
@@ -95,6 +99,39 @@ def test_grad_accum_matches_manual_two_micro_accumulation(cfg, setup):
     gn_manual = float(jnp.sqrt(sum(
         jnp.sum(jnp.square(g)) for g in jax.tree.leaves(gavg))))
     assert float(m2["grad_norm"]) == pytest.approx(gn_manual, rel=1e-4)
+
+
+def test_grad_accum_ce_gradient_exact_vs_full_batch(cfg, setup):
+    """With unequal valid-weight mass across micro-batches (the case where
+    naive per-micro-mean averaging produces a DIFFERENT gradient direction),
+    the accumulated CE gradient must equal the full-batch CE gradient exactly.
+    reg_weight=0 isolates the CE term (the regularizer is documented as
+    per-micro under accumulation); bn_mode='window' removes cross-micro batch
+    statistics so the full-batch and micro forwards are identical functions."""
+    _, _, batch = setup
+    cfg_iso = AMPNetConfig(
+        model=ModelConfig(dropout=0.0, bn_mode="window"),
+        train=TrainConfig(reg_weight=0.0, learning_rate=5e-3),
+    )
+    model = AMPNetSegmenter(cfg_iso.model)
+    # micro A: everything valid; micro B: mostly padding -> unequal weight mass
+    half_b = {k: v for k, v in batch.items()}
+    labels_b = np.array(batch["labels"])
+    labels_b[:, 1:, :] = -1  # pad most of micro B's windows
+    labels_b[:, 0, ::2] = -1
+    half_b["labels"] = jnp.asarray(labels_b)
+    dup = {k: jnp.concatenate([batch[k], half_b[k]], axis=0) for k in batch}
+
+    state = create_train_state(cfg_iso, model, jax.random.PRNGKey(0), dup,
+                               steps_per_epoch=1)
+    step_full, _ = make_step_fns(cfg_iso, augment=False, grad_accum=1)
+    step_acc, _ = make_step_fns(cfg_iso, augment=False, grad_accum=2)
+    _, m_full = step_full(clone_state(state), dup)
+    _, m_acc = step_acc(clone_state(state), dup)
+
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-5)
+    assert float(m_acc["grad_norm"]) == pytest.approx(
+        float(m_full["grad_norm"]), rel=1e-4)
 
 
 def test_grad_accum_rejects_indivisible_batch(cfg, setup):

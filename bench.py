@@ -203,6 +203,10 @@ def measure_train(iters: int = 12) -> dict:
             "step_ms": dt * 1e3,
             "windows_per_sec": BATCH * WINDOWS / dt,
             "compile_s": compile_s,
+            # batch 32 IS the best config: the round-3 batch-scaling study
+            # measured windows/s flat from batch 32->256 (HBM-bound step,
+            # docs/design.md), so there is no larger-batch arm to report
+            "batch": BATCH,
         }
         del state, train_step, model
     return out

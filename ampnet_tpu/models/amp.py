@@ -163,21 +163,25 @@ class GRUContext(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:  # [B, W, H]
         cfg = self.cfg
-        # UNROLLED shared cell over the window axis (round 3). This was a lifted
-        # nn.scan; on this toolchain's remote-relay compiler the scanned-loop
-        # programs were the slowest compiles in the repo (221 s first-epoch for
-        # the 25-window test geometry, docs/design.md) while W <= 25 makes the
-        # unrolled body trivially small. The unrolled cell produces the IDENTICAL
-        # param tree ({'gru': {...GRUCell...}}) and identical outputs (tested),
-        # so existing checkpoints and the torch importer are unaffected.
-        cell = nn.GRUCell(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
+        # lifted scan over the window axis (plain lax.scan would leak module
+        # tracers). Round 3 MEASURED the obvious compile-time fix — unrolling
+        # the shared cell (W <= 25, identical param tree and outputs) — as a
+        # large NEGATIVE on this toolchain's remote-relay compiler: the
+        # unrolled 9-window train program had not finished compiling at
+        # 20+ minutes where this scan form compiles in 221 s (docs/design.md).
+        # The scan stays; the GRU family's compile cost is a toolchain floor.
+        ScanGRU = nn.scan(
+            nn.GRUCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        cell = ScanGRU(features=cfg.gru_hidden, dtype=cfg.dtype, name="gru")
         b = global_feats.shape[0]
         carry = jnp.zeros((b, cfg.gru_hidden), global_feats.dtype)
-        ys = []
-        for w in range(global_feats.shape[1]):
-            carry, y = cell(carry, global_feats[:, w])
-            ys.append(y)
-        return jnp.stack(ys, axis=1)
+        _, ys = cell(carry, global_feats)
+        return ys
 
 
 class SegmentationHead(nn.Module):

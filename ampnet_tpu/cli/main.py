@@ -553,8 +553,11 @@ def cmd_serve(args) -> int:
     )
     if args.warmup:
         sizes = [int(s) for s in args.warmup.split(",") if s]
-        print(f"warming up bucket programs for sizes {sizes}...", file=sys.stderr)
-        server.warmup(sizes)
+        batches = [int(b) for b in
+                   getattr(args, "warmup_batches", "1").split(",") if b] or [1]
+        print(f"warming up bucket programs for sizes {sizes} "
+              f"x micro-batches {batches}...", file=sys.stderr)
+        server.warmup(sizes, batch_sizes=batches)
     host, port = server.address
     print(f"serving {ckpt_name} on http://{host}:{port}  "
           f"(POST /v1/predict, GET /healthz, GET /v1/stats)")
@@ -833,6 +836,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "params, zero collectives — clouds are independent)")
     s.add_argument("--warmup", default="",
                    help="comma-separated cloud sizes to pre-compile, e.g. 10000,50000")
+    s.add_argument("--warmup_batches", default="1",
+                   help="micro-batch cloud-counts to pre-compile per warmup size "
+                        "(jit programs are per batch shape too), e.g. 1,2,4,8,16")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("bench", help="single-chip throughput benchmark (bench.py)")

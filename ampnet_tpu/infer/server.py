@@ -166,10 +166,19 @@ class PredictionService:
         inferencer,
         batch_window_ms: float = 5.0,
         max_batch_clouds: int = 64,
+        adaptive_wait_cap_s: float = 5.0,
     ):
         self.inferencer = inferencer
         self.batch_window_s = batch_window_ms / 1e3
         self.max_batch_clouds = max_batch_clouds
+        # adaptive batching (round 3): while the device still executes the
+        # previous batch, new arrivals would only queue — the drain window
+        # stretches to the batch's expected completion so they join the next
+        # batch instead. The round-3 decomposition measured decode+encode at
+        # ~0.5 % of serving wall; the HTTP-vs-library gap was micro-batch size
+        # (mean 5.5 clouds vs 32) — this is the lever that closes it.
+        self.adaptive_wait_cap_s = adaptive_wait_cap_s
+        self._exec_ema = 0.0  # EMA of recent warm device-batch execution time
         self.stats = ServingStats()
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
@@ -206,10 +215,16 @@ class PredictionService:
         return job.result
 
     # -- worker --------------------------------------------------------------
-    def _drain(self, block: bool) -> List[_Job]:
+    def _drain(self, block: bool, in_flight=()) -> List[_Job]:
         """Everything that arrives within the batching window. ``block=False``
         (a previous batch is still in flight on device) waits at most one
-        window for the first job so the in-flight batch gets fetched promptly."""
+        window for the first job so the in-flight batch gets fetched promptly.
+
+        Adaptive window: with a batch in flight, the deadline stretches toward
+        that batch's expected completion (dispatch time + execution EMA, capped
+        by ``adaptive_wait_cap_s``) — arrivals during the previous batch's
+        execution join ONE large next batch instead of fragmenting into many
+        small dispatches, at no added latency (they would only have queued)."""
         try:
             job = self._q.get() if block else self._q.get(timeout=self.batch_window_s)
         except queue.Empty:
@@ -218,6 +233,10 @@ class PredictionService:
             return []
         jobs, n = [job], len(job.clouds)
         deadline = time.time() + self.batch_window_s
+        if in_flight and self._exec_ema > 0:
+            t_disp = max(m[2] for _, _, m in in_flight)
+            est_done = t_disp + min(self._exec_ema, self.adaptive_wait_cap_s)
+            deadline = max(deadline, est_done - self.batch_window_s / 2)
         while n < self.max_batch_clouds:
             timeout = deadline - time.time()
             if timeout <= 0:
@@ -264,7 +283,14 @@ class PredictionService:
         for group, handle, meta in dispatched:
             try:
                 outs = self.inferencer.fetch_many(handle)
-                self.stats.record_batch(meta[0], meta[1], time.time() - meta[2])
+                exec_s = time.time() - meta[2]
+                self.stats.record_batch(meta[0], meta[1], exec_s)
+                if not handle.get("cold"):
+                    # warm-execution EMA drives the adaptive drain window; a
+                    # cold batch's minutes-long compile must not stretch it
+                    # (the cap guards the first samples regardless)
+                    self._exec_ema = (exec_s if self._exec_ema == 0
+                                      else 0.7 * self._exec_ema + 0.3 * exec_s)
                 i = 0
                 for j in group:
                     j.result = outs[i : i + len(j.clouds)]
@@ -285,7 +311,8 @@ class PredictionService:
                 break
             jobs = []
             try:
-                jobs = self._drain(block=not in_flight and not self._stop.is_set())
+                jobs = self._drain(block=not in_flight and not self._stop.is_set(),
+                                   in_flight=in_flight)
                 dispatched = self._dispatch(jobs) if jobs else []
                 self._complete(in_flight)
                 in_flight = dispatched
@@ -449,18 +476,27 @@ class InferenceServer:
     def address(self):
         return self.httpd.server_address
 
-    def warmup(self, sizes: List[int]) -> None:
+    def warmup(self, sizes: List[int], batch_sizes: List[int] = (1,)) -> None:
         """Pre-compile bucket programs for the given cloud sizes (first-compile
         through a remote relay is minutes; do it before taking traffic).
         Goes straight to the inferencer so compile time never pollutes the
-        /v1/stats request counters and latency quantiles."""
+        /v1/stats request counters and latency quantiles.
+
+        ``batch_sizes`` additionally pre-compiles the MICRO-BATCH shapes: jit
+        programs are per (bucket, cloud-count), and under concurrent traffic
+        the adaptive batcher forms multi-cloud batches whose first occurrence
+        each pays a compile (the round-3 serving bench measured 29 cold
+        requests dominated by exactly these). Pass e.g. [1, 2, 4, 8, 16] so a
+        16-client steady state starts warm."""
         rng = np.random.default_rng(0)
         n_feat = _feature_count(self.service)
         for n in sizes:
             pts = rng.normal(size=(int(n), n_feat)).astype(np.float32)
-            # the inferencer's compiled-shape ledger marks the programs warm
-            # as a side effect, so later traffic on them is not tagged cold
-            self.service.inferencer.predict_many([pts], seeds=[0])
+            for b in batch_sizes:
+                # the inferencer's compiled-shape ledger marks the programs
+                # warm as a side effect, so later traffic is not tagged cold
+                self.service.inferencer.predict_many(
+                    [pts] * int(b), seeds=list(range(int(b))))
 
     def serve_forever(self) -> None:
         try:

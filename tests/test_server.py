@@ -173,6 +173,42 @@ def test_stats(server):
     assert bd["batch_clouds_mean"] >= 1 and bd["device_points_per_sec"] > 0
 
 
+def test_adaptive_drain_window_grows_under_inflight():
+    """With a batch in flight and a warm execution EMA, the drain deadline
+    stretches toward that batch's expected completion, so arrivals during the
+    previous batch's execution join one large batch instead of fragmenting
+    (round-3 serving decomposition: mean micro-batch 5.5 clouds was the
+    HTTP-vs-library throughput gap)."""
+    import queue
+    import time as _t
+
+    from ampnet_tpu.infer.server import PredictionService, _Job
+
+    svc = PredictionService.__new__(PredictionService)  # no worker thread
+    svc.batch_window_s = 0.01
+    svc.max_batch_clouds = 64
+    svc.adaptive_wait_cap_s = 5.0
+    svc._exec_ema = 0.5
+    svc._q = queue.Queue()
+    clouds = [np.zeros((4, 9), np.float32)]
+    in_flight = [(None, None, (1, 4, _t.time()))]
+
+    # second job lands 100 ms in: far outside the 10 ms window, inside the
+    # adaptive one (EMA 0.5 s)
+    svc._q.put(_Job(clouds, False))
+    threading.Timer(0.1, lambda: svc._q.put(_Job(clouds, False))).start()
+    jobs = svc._drain(block=False, in_flight=in_flight)
+    assert len(jobs) == 2
+
+    # control: no batch in flight -> plain window, the late job misses it
+    svc._q.queue.clear()
+    svc._q.put(_Job(clouds, False))
+    threading.Timer(0.1, lambda: svc._q.put(_Job(clouds, False))).start()
+    jobs = svc._drain(block=False, in_flight=())
+    assert len(jobs) == 1
+    _t.sleep(0.15)  # let the timer fire before the queue object goes away
+
+
 def test_cold_requests_excluded_from_reservoir():
     from ampnet_tpu.infer.server import ServingStats
 

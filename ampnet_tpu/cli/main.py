@@ -332,15 +332,26 @@ def _restore_model(args, task: str):
     meta = mgr.load_meta(ckpt_name)
     if meta.get("config"):
         cfg = AMPNetConfig.from_json(json.dumps(meta["config"]))
+        # the recorded config knows what was trained (cmd_train stores
+        # context=arch, _build_cfg above); trust it over --arch so a plain
+        # `ampnet test --model_checkpoint <gru ckpt>` restores the right
+        # template instead of failing on an attention-shaped tree — mirrors
+        # the reference tester reading hyperparams out of the checkpoint
+        # (test_pointnet_att_segmen.py:87-94)
+        arch = cfg.model.context
+        if args.arch != "attention" and args.arch != arch:
+            print(f"checkpoint records arch {arch!r}; ignoring --arch {args.arch!r}",
+                  file=sys.stderr)
     else:
         # no recorded config: derive the context from --arch so downstream
         # gates (whole-cloud eval, backend support) agree with the built model
         from ampnet_tpu.core.config import ModelConfig
 
+        arch = args.arch
         cfg = AMPNetConfig(model=ModelConfig(
             context="attention" if args.arch == "attention" else args.arch
         ))
-    model = build_model(cfg, args.arch, task)
+    model = build_model(cfg, arch, task)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
     if task == "classification":

@@ -161,3 +161,37 @@ def test_fps_command(tmp_path):
 def test_main_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_restore_model_honors_recorded_arch(tmp_path):
+    """A checkpoint trained with --arch gru must restore through _restore_model
+    without the caller repeating --arch (regression: the template was built from
+    args.arch='attention' and orbax failed on the mismatched context tree).
+    Mirrors the reference tester reading hyperparams out of the checkpoint
+    (test_pointnet_att_segmen.py:87-94)."""
+    from test_trainer import MemoryDataset
+
+    from ampnet_tpu.cli.main import _restore_model
+    from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
+    from ampnet_tpu.data.pipeline import PaddedBatcher
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.trainer import Trainer
+
+    cfg = AMPNetConfig(model=ModelConfig(context="gru"),
+                       train=TrainConfig(batch_size=3, epochs=1))
+    ds = MemoryDataset(n_items=3)
+    batcher = PaddedBatcher(ds, 3, n_points=96, max_windows=4, seed=0, prefetch=0)
+    model = build_model(cfg, "gru", "segmentation")
+    tr = Trainer(cfg, model, batcher, batcher, str(tmp_path), name="gru_segmentation")
+    tr.fit(epochs=1)
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "gru_segmentation_best")
+    assert os.path.isdir(ckpt)
+
+    # default --arch attention: must still build + restore the recorded gru model
+    restored = _restore_model(
+        ns(model_checkpoint=ckpt, arch="attention", task="segmentation"),
+        "segmentation")
+    assert restored is not None
+    rcfg, _, state, _ = restored
+    assert rcfg.model.context == "gru"
+    assert "gru" in state.params["context"]

@@ -189,6 +189,28 @@ def _build_cfg(args):
     )
 
 
+def seg_class_weights(train_ds, method: str, num_classes: int, beta: float,
+                      max_samples: int = 512):
+    """Data-driven CE class weights for segmentation from the train label
+    histogram. The reference hardcodes [1,2,2,1,1]
+    (train_pointnet-attention.py:127) and reserves its EFS/INS/ISNS machinery
+    (get_metrics.py:34-77) for classification; on imbalanced data (tower/lines
+    ~1-2 % of points) inverse-frequency weighting is a measured quality lever
+    (BASELINE.md hard-benchmark study). Weights are sum-normalized and the loss
+    divides by the weight-sum, so absolute scale cancels (train/losses.py:65-76).
+
+    Returns (weights | None, per-class point counts)."""
+    from ampnet_tpu.core.metrics import get_class_weights
+
+    counts = np.zeros(num_classes, np.int64)
+    for i in range(min(len(train_ds), max_samples)):
+        lab = np.asarray(train_ds[i]["labels"]).ravel()
+        lab = lab[lab >= 0]
+        counts += np.bincount(lab, minlength=num_classes)[:num_classes]
+    cw = get_class_weights(method, np.maximum(counts, 1).tolist(), beta=beta)
+    return cw, counts
+
+
 def cmd_train(args) -> int:
     from ampnet_tpu.core.metrics import get_class_weights
     from ampnet_tpu.data.datasets import CloudDataset, WindowedCloudDataset
@@ -244,6 +266,21 @@ def cmd_train(args) -> int:
             drop_last=len(ds) >= args.batch_size,
             pad_to_multiple=pad_multiple,
         )
+
+    if args.task == "segmentation" and getattr(args, "seg_weighing", ""):
+        cw, counts = seg_class_weights(train_ds, args.seg_weighing,
+                                       cfg.model.num_classes, cfg.train.beta)
+        if cw is None:
+            print(f"unknown --seg_weighing {args.seg_weighing!r} "
+                  "(expected EFS|INS|ISNS|sklearn)", file=sys.stderr)
+            return 1
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, class_weights=tuple(float(x) for x in cw),
+            weighing_method=args.seg_weighing))
+        print(f"seg class weights ({args.seg_weighing}, counts {counts.tolist()}): "
+              f"{[round(float(x), 5) for x in cw]}", file=sys.stderr)
 
     mesh = None
     if args.num_devices > 1:
@@ -745,6 +782,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--epochs", type=int, default=500)
     s.add_argument("--learning_rate", type=float, default=1e-3)
     s.add_argument("--weighing_method", default="EFS")
+    s.add_argument("--seg_weighing", default="",
+                   help="data-driven CE class weights for segmentation "
+                        "(EFS|INS|ISNS|sklearn, from the train label histogram); "
+                        "default: the reference's fixed [1,2,2,1,1]")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--model_checkpoint", default="")
     s.add_argument("--device_cache", choices=["auto", "on", "off"], default="auto",

@@ -195,3 +195,29 @@ def test_restore_model_honors_recorded_arch(tmp_path):
     rcfg, _, state, _ = restored
     assert rcfg.model.context == "gru"
     assert "gru" in state.params["context"]
+
+
+def test_seg_class_weights_from_histogram():
+    """--seg_weighing computes CE weights from the train label histogram:
+    rarer classes get strictly larger weights (INS/ISNS), unknown methods
+    return None (reference get_weights4class semantics, get_metrics.py:54-77)."""
+    from test_trainer import MemoryDataset
+
+    from ampnet_tpu.cli.main import seg_class_weights
+
+    ds = MemoryDataset(n_items=4)
+    for method in ("INS", "ISNS", "sklearn", "EFS"):
+        w, counts = seg_class_weights(ds, method, 5, beta=0.999)
+        assert w is not None and len(w) == 5
+        assert abs(float(np.sum(w)) - 1.0) < 1e-5
+        assert counts.sum() > 0
+    # INS weights are strictly inverse-monotone in the counts (ties → equal)
+    w, counts = seg_class_weights(ds, "INS", 5, beta=0.999)
+    w = np.asarray(w)
+    for i in range(5):
+        for j in range(5):
+            if counts[i] < counts[j]:
+                assert w[i] > w[j], (counts, w)
+            elif counts[i] == counts[j]:
+                assert abs(w[i] - w[j]) < 1e-6
+    assert seg_class_weights(ds, "nope", 5, beta=0.999)[0] is None

@@ -38,7 +38,7 @@ sys.path.insert(0, REPO)
 
 
 def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
-               n_windows, dtype):
+               n_windows, dtype, seg_weighing=""):
     task = "classification" if family == "cls" else "segmentation"
     arch = "attention" if family == "cls" else family
     windowed = arch in ("attention", "gru")
@@ -47,7 +47,8 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         task=task,
         arch=arch,
         path_list_files=data,
-        out_path=os.path.join(scratch, f"{family}_s{seed}"),
+        out_path=os.path.join(scratch, f"{family.replace('@', '_')}_s{seed}"),
+        seg_weighing=seg_weighing,
         number_of_points=n_points if windowed else max(n_points, 2048),
         number_of_windows=n_windows,
         batch_size=batch_size,
@@ -83,10 +84,16 @@ def test_args(ta, family):
 
 
 def run_one(family, seed, args):
+    """family may carry a weighting-arm suffix: 'attention@INS' trains with
+    --seg_weighing INS (cli/main.py::seg_class_weights); the full spec stays
+    the row label so arms land as distinct families in the output."""
     from ampnet_tpu.cli.main import cmd_test, cmd_train
 
-    ta = train_args(family, seed, args.data, args.scratch, args.epochs,
-                    args.batch_size, args.n_points, args.n_windows, args.dtype)
+    base, _, seg_weighing = family.partition("@")
+    ta = train_args(base, seed, args.data, args.scratch, args.epochs,
+                    args.batch_size, args.n_points, args.n_windows, args.dtype,
+                    seg_weighing=seg_weighing)
+    ta.out_path = os.path.join(args.scratch, f"{family.replace('@', '_')}_s{seed}")
     os.makedirs(ta.out_path, exist_ok=True)
     t0 = time.time()
     buf = io.StringIO()

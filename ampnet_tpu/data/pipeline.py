@@ -191,16 +191,29 @@ class PaddedBatcher:
             except Exception as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass  # consumer is gone; nothing waits on the sentinel
+                # the sentinel must be delivered even when the queue is full at
+                # producer exit (consumer mid-batch on a slow device step): a
+                # dropped sentinel deadlocks the consumer's q.get() after it
+                # drains the remaining batches. Keep trying until delivered or
+                # the consumer abandons the iterator (stop set).
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=1.0)
+                except queue.Empty:
+                    # producer died without a sentinel (crash path): don't hang
+                    if not t.is_alive():
+                        break
+                    continue
                 if item is sentinel:
                     break
                 yield item

@@ -260,3 +260,36 @@ def test_abandoned_prefetch_iterator_stops_producer(artifact_dir):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.1)
     assert threading.active_count() == before
+
+
+def test_prefetch_sentinel_survives_full_queue():
+    """Regression: when the producer finished while the prefetch queue was FULL
+    (consumer mid-batch on a slow device step), the end-of-epoch sentinel was
+    dropped and the consumer deadlocked on q.get() after draining the queue.
+    Deterministic repro: n_batches == prefetch depth and a consumer that only
+    starts draining after the producer has exhausted the dataset."""
+    import threading
+    import time
+
+    from ampnet_tpu.data.pipeline import PaddedBatcher
+
+    # batch_size 1 -> 4 batches, prefetch 3: consume ONE batch (starting the
+    # producer), then stall — the producer enqueues the remaining 3 (queue
+    # full) and exhausts, so its sentinel hits a full queue.
+    n = 4
+    b = PaddedBatcher(_IndexDataset(n), 1, n_points=16, max_windows=2,
+                      shuffle=False, seed=0, prefetch=3)
+    got = []
+
+    def consume():
+        it = iter(b)
+        got.append(next(it)["names"])  # starts the producer thread
+        time.sleep(1.0)  # producer fills the queue and finishes
+        for batch in it:
+            got.append(batch["names"])
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=20.0)
+    assert not t.is_alive(), "prefetch consumer deadlocked waiting for sentinel"
+    assert len(got) == n

@@ -182,13 +182,29 @@ class PredictionService:
         self.stats = ServingStats()
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
+        # dispatched-but-unfetched batches, completed by a dedicated fetcher
+        # thread. Fetching in its own thread keeps the measured execution time
+        # free of the worker's drain window: when fetch only happened after the
+        # NEXT batch's drain, the drain time leaked into the execution EMA that
+        # the adaptive drain deadline is derived from — a positive feedback
+        # loop that ratcheted the window to its cap and left the device idle
+        # between batches (measured: serving throughput decayed 213k->96k
+        # pts/s within one bench run). maxsize=2 keeps the old one-ahead
+        # pipelining bound: dispatch blocks when two batches are in flight.
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._pending = 0
+        self._last_dispatch_t = 0.0
+        self._plock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._fetcher = threading.Thread(target=self._run_fetch, daemon=True)
         self._worker.start()
+        self._fetcher.start()
 
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        self._fetcher.join(timeout=5)
 
     def predict(self, clouds: List[np.ndarray], probs: bool = False):
         """Blocking predict for one request's clouds; thread-safe. Error
@@ -215,26 +231,24 @@ class PredictionService:
         return job.result
 
     # -- worker --------------------------------------------------------------
-    def _drain(self, block: bool, in_flight=()) -> List[_Job]:
-        """Everything that arrives within the batching window. ``block=False``
-        (a previous batch is still in flight on device) waits at most one
-        window for the first job so the in-flight batch gets fetched promptly.
+    def _drain(self) -> List[_Job]:
+        """Everything that arrives within the batching window (the fetcher
+        thread completes in-flight batches independently, so the worker always
+        blocks for the first job).
 
         Adaptive window: with a batch in flight, the deadline stretches toward
         that batch's expected completion (dispatch time + execution EMA, capped
         by ``adaptive_wait_cap_s``) — arrivals during the previous batch's
         execution join ONE large next batch instead of fragmenting into many
         small dispatches, at no added latency (they would only have queued)."""
-        try:
-            job = self._q.get() if block else self._q.get(timeout=self.batch_window_s)
-        except queue.Empty:
-            return []
+        job = self._q.get()
         if job is None:
             return []
         jobs, n = [job], len(job.clouds)
         deadline = time.time() + self.batch_window_s
-        if in_flight and self._exec_ema > 0:
-            t_disp = max(m[2] for _, _, m in in_flight)
+        with self._plock:
+            pending, t_disp = self._pending, self._last_dispatch_t
+        if pending and self._exec_ema > 0:
             est_done = t_disp + min(self._exec_ema, self.adaptive_wait_cap_s)
             deadline = max(deadline, est_done - self.batch_window_s / 2)
         while n < self.max_batch_clouds:
@@ -279,50 +293,60 @@ class PredictionService:
                     j.event.set()
         return dispatched
 
-    def _complete(self, dispatched) -> None:
-        for group, handle, meta in dispatched:
-            try:
-                outs = self.inferencer.fetch_many(handle)
-                exec_s = time.time() - meta[2]
-                self.stats.record_batch(meta[0], meta[1], exec_s)
-                if not handle.get("cold"):
-                    # warm-execution EMA drives the adaptive drain window; a
-                    # cold batch's minutes-long compile must not stretch it
-                    # (the cap guards the first samples regardless)
-                    self._exec_ema = (exec_s if self._exec_ema == 0
-                                      else 0.7 * self._exec_ema + 0.3 * exec_s)
-                i = 0
-                for j in group:
-                    j.result = outs[i : i + len(j.clouds)]
-                    i += len(j.clouds)
-            except Exception as e:
-                for j in group:
-                    j.error = e
-            finally:
-                for j in group:
-                    j.event.set()
+    def _complete_one(self, group, handle, meta) -> None:
+        try:
+            outs = self.inferencer.fetch_many(handle)
+            exec_s = time.time() - meta[2]
+            self.stats.record_batch(meta[0], meta[1], exec_s)
+            if not handle.get("cold"):
+                # warm-execution EMA drives the adaptive drain window; a
+                # cold batch's minutes-long compile must not stretch it
+                # (the cap guards the first samples regardless)
+                self._exec_ema = (exec_s if self._exec_ema == 0
+                                  else 0.7 * self._exec_ema + 0.3 * exec_s)
+            i = 0
+            for j in group:
+                j.result = outs[i : i + len(j.clouds)]
+                i += len(j.clouds)
+        except Exception as e:
+            for j in group:
+                j.error = e
+        finally:
+            with self._plock:
+                self._pending -= 1
+            for j in group:
+                j.event.set()
+
+    def _run_fetch(self) -> None:
+        """Completes dispatched batches as the device finishes them — decoupled
+        from the worker so fetch latency never waits on (or pollutes) the next
+        batch's drain window."""
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                break
+            self._complete_one(*item)
 
     def _run(self) -> None:
-        # one batch in flight ahead of the fetch: batch k's result transfer
-        # overlaps batch k+1's host prep + upload + compute on device
-        in_flight = []
-        while True:
-            if self._stop.is_set() and not in_flight:
-                break
+        while not self._stop.is_set():
             jobs = []
             try:
-                jobs = self._drain(block=not in_flight and not self._stop.is_set(),
-                                   in_flight=in_flight)
-                dispatched = self._dispatch(jobs) if jobs else []
-                self._complete(in_flight)
-                in_flight = dispatched
+                jobs = self._drain()
+                for item in (self._dispatch(jobs) if jobs else []):
+                    with self._plock:
+                        self._pending += 1
+                        self._last_dispatch_t = item[2][2]
+                    # blocks at two batches in flight: upload/compute of batch
+                    # k+1 overlaps batch k's execution + result transfer, but
+                    # dispatch never runs further ahead of the device
+                    self._fetch_q.put(item)
             except BaseException as e:  # keep the worker alive: a dead worker
                 # would hang every future request on an unset event
-                for j in jobs + [j for g, _, _ in in_flight for j in g]:
+                for j in jobs:
                     if not j.event.is_set():
                         j.error = j.error or RuntimeError(f"serving worker error: {e!r}")
                         j.event.set()
-                in_flight = []
+        self._fetch_q.put(None)  # fetcher drains queued batches, then exits
         # fail anything that raced into the queue during shutdown
         while True:
             try:

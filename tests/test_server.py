@@ -190,21 +190,23 @@ def test_adaptive_drain_window_grows_under_inflight():
     svc.adaptive_wait_cap_s = 5.0
     svc._exec_ema = 0.5
     svc._q = queue.Queue()
+    svc._plock = threading.Lock()
     clouds = [np.zeros((4, 9), np.float32)]
-    in_flight = [(None, None, (1, 4, _t.time()))]
 
     # second job lands 100 ms in: far outside the 10 ms window, inside the
-    # adaptive one (EMA 0.5 s)
+    # adaptive one (EMA 0.5 s, one batch pending on device)
+    svc._pending, svc._last_dispatch_t = 1, _t.time()
     svc._q.put(_Job(clouds, False))
     threading.Timer(0.1, lambda: svc._q.put(_Job(clouds, False))).start()
-    jobs = svc._drain(block=False, in_flight=in_flight)
+    jobs = svc._drain()
     assert len(jobs) == 2
 
     # control: no batch in flight -> plain window, the late job misses it
     svc._q.queue.clear()
+    svc._pending, svc._last_dispatch_t = 0, 0.0
     svc._q.put(_Job(clouds, False))
     threading.Timer(0.1, lambda: svc._q.put(_Job(clouds, False))).start()
-    jobs = svc._drain(block=False, in_flight=())
+    jobs = svc._drain()
     assert len(jobs) == 1
     _t.sleep(0.15)  # let the timer fire before the queue object goes away
 
@@ -329,3 +331,43 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", b"", {"Content-Type": "application/json"})
     assert e.value.code == 404
+
+
+def test_exec_ema_tracks_device_time_not_drain_window():
+    """Regression: the warm-execution EMA must measure device time only.
+    When batch completion waited on the NEXT batch's drain (old single-thread
+    worker), the adaptive drain window leaked into the EMA that the window is
+    derived from — a feedback loop that ratcheted the window to its cap and
+    decayed serving throughput within a bench run (213k -> 96k pts/s). With
+    the dedicated fetcher thread the EMA settles at the stubbed device time."""
+    import time as _t
+
+    from ampnet_tpu.infer.server import PredictionService
+
+    class _StubInferencer:
+        def dispatch_many(self, clouds, seeds=None, return_probs=False):
+            return {"cold": False, "n": len(clouds)}
+
+        def fetch_many(self, handle):
+            _t.sleep(0.05)  # "device" execution + transfer
+            return [np.zeros((4,), np.int32)] * handle["n"]
+
+    svc = PredictionService(_StubInferencer(), batch_window_ms=5.0,
+                            adaptive_wait_cap_s=5.0)
+    clouds = [np.zeros((4, 9), np.float32)]
+
+    def client():
+        for _ in range(10):
+            svc.predict(clouds)
+
+    ts = [threading.Thread(target=client) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in ts), "serving worker wedged"
+    ema = svc._exec_ema
+    svc.close()
+    # true exec is 0.05 s; the old feedback loop pushed the EMA toward the
+    # 5 s cap (adds ~0.3 x window per batch under sustained load)
+    assert 0.0 < ema < 0.2, ema

@@ -225,6 +225,12 @@ def cmd_train(args) -> int:
               f"--grad_accum {grad_accum} (equal micro-batches keep the "
               "accumulated gradient exact)", file=sys.stderr)
         return 1
+    if grad_accum > 1 and args.task == "classification":
+        # make_cls_step_fns has no accumulation path; failing loudly beats
+        # silently ignoring the user's memory lever
+        print("--grad_accum is segmentation-only (the classification step has "
+              "no accumulation path; its residuals are tiny)", file=sys.stderr)
+        return 1
     # short/ragged batches must stay divisible by grad_accum too — fold it
     # into the pad multiple alongside the device count
     import math
@@ -412,7 +418,11 @@ def cmd_test(args) -> int:
         from ampnet_tpu.infer.classify import evaluate_classification
         from ampnet_tpu.train.cls_step import make_cls_step_fns
 
-        if args.arch in ("attention", "gru"):
+        # gate on the RESTORED arch, not --arch: _restore_model builds the
+        # model from the checkpoint-recorded config, so the dataset/batcher
+        # must follow it (a baseline cls checkpoint tested without --arch
+        # would otherwise get multi-window batches for a single-window model)
+        if cfg.model.context in ("attention", "gru"):
             ds = WindowedCloudDataset(args.dataset_path, files, task="classification")
             batcher = PaddedBatcher(ds, 4, n_points=cfg.data.n_points,
                                     max_windows=cfg.data.max_windows,

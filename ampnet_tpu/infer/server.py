@@ -54,6 +54,8 @@ class ServingStats:
         self._batches = 0
         self._batch_clouds = 0
         self._batch_points = 0
+        self._cold_batches = 0
+        self._cold_device_s = 0.0
 
     def record(self, n_clouds: int, n_points: int, latency_s: float,
                cold: bool = False) -> None:
@@ -89,8 +91,17 @@ class ServingStats:
         with self._lock:
             self._encode_s += seconds
 
-    def record_batch(self, n_clouds: int, n_points: int, device_s: float) -> None:
+    def record_batch(self, n_clouds: int, n_points: int, device_s: float,
+                     cold: bool = False) -> None:
         with self._lock:
+            if cold:
+                # a cold batch's minutes-long relay compile would swamp
+                # device_s_total and make device_points_per_sec read orders of
+                # magnitude low for the server's lifetime — keep the warm
+                # breakdown clean and count cold batches separately
+                self._cold_batches += 1
+                self._cold_device_s += device_s
+                return
             self._batches += 1
             self._batch_clouds += n_clouds
             self._batch_points += n_points
@@ -134,6 +145,9 @@ class ServingStats:
                         round(self._batch_points / self._device_s, 1)
                         if self._device_s > 0 else None
                     ),
+                    # compile-bearing batches, kept out of the warm totals
+                    "cold_batches": self._cold_batches,
+                    "cold_device_s_total": round(self._cold_device_s, 4),
                 },
             }
 
@@ -297,7 +311,8 @@ class PredictionService:
         try:
             outs = self.inferencer.fetch_many(handle)
             exec_s = time.time() - meta[2]
-            self.stats.record_batch(meta[0], meta[1], exec_s)
+            self.stats.record_batch(meta[0], meta[1], exec_s,
+                                    cold=bool(handle.get("cold")))
             if not handle.get("cold"):
                 # warm-execution EMA drives the adaptive drain window; a
                 # cold batch's minutes-long compile must not stretch it
@@ -308,9 +323,12 @@ class PredictionService:
             for j in group:
                 j.result = outs[i : i + len(j.clouds)]
                 i += len(j.clouds)
-        except Exception as e:
+        except BaseException as e:  # incl. non-Exception errors: a job must
+            # never complete with neither result nor error
+            err = e if isinstance(e, Exception) else RuntimeError(
+                f"serving fetch error: {e!r}")
             for j in group:
-                j.error = e
+                j.error = err
         finally:
             with self._plock:
                 self._pending -= 1
@@ -320,12 +338,16 @@ class PredictionService:
     def _run_fetch(self) -> None:
         """Completes dispatched batches as the device finishes them — decoupled
         from the worker so fetch latency never waits on (or pollutes) the next
-        batch's drain window."""
+        batch's drain window. Guarded like the worker: a dead fetcher would
+        block dispatch forever on the bounded _fetch_q."""
         while True:
             item = self._fetch_q.get()
             if item is None:
                 break
-            self._complete_one(*item)
+            try:
+                self._complete_one(*item)
+            except BaseException:
+                continue  # _complete_one's finally already failed the jobs
 
     def _run(self) -> None:
         while not self._stop.is_set():

@@ -193,19 +193,6 @@ class TiledInferencer:
         self._fns[(k, cap, probs)] = run
         return run
 
-    def bucket_key(self, n: int) -> tuple:
-        """(k, cap) program-bucket key an n-point cloud resolves to —
-        informational (e.g. choosing --warmup sizes). Serving cold-tagging
-        uses the full compiled-shape ledger instead (``_mark_program``): jit
-        warmth also depends on the probs variant and the batch dimension.
-        Mega-clouds report the key of their LARGER spatially-halved piece
-        (the recursion visits both halves; the smaller may differ)."""
-        n = max(int(n), 1)
-        while n > self.max_points_per_call:
-            n -= n // 2  # the larger half of the recursive split
-        k = num_tiles_test(n, self.n_points, self.max_clusters)
-        return (k, self._cap_for(n, k))
-
     def predict(self, points9: np.ndarray, seed: int = 0, return_probs: bool = False):
         """Per-point class predictions for one [N, 9] cloud of any size.
 

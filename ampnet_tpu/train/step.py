@@ -131,22 +131,26 @@ def make_step_fns(
         if centroids is not None:
             aug["centroids"] = centroids
 
-        def loss_and_grads(params, bstats, mb, k_drop_i):
+        def loss_and_grads(params, bstats, mb, k_drop_i, ce_fn, reg_scale):
+            """Shared loss+grad closure; the full-batch and micro-batch paths
+            differ only in the CE normalizer and the regularizer scale."""
             def loss_fn(p):
                 logits, t_feat, new_stats = _forward(
                     state, p, bstats, mb, cfg, True, k_drop_i
                 )
-                ce = weighted_cross_entropy(
-                    logits, mb["labels"], class_weights, cfg.train.ignore_index
-                )
+                ce = ce_fn(logits, mb["labels"])
                 reg = orthogonality_regularizer(t_feat)
-                return ce + reg_w * reg, (ce, reg, logits, new_stats)
+                return ce + reg_w * reg * reg_scale, (ce, reg, logits, new_stats)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         if grad_accum == 1:
             (loss, (ce, reg, logits, new_stats)), grads = loss_and_grads(
-                state.params, state.batch_stats, aug, k_drop
+                state.params, state.batch_stats, aug, k_drop,
+                lambda lg, lb: weighted_cross_entropy(
+                    lg, lb, class_weights, cfg.train.ignore_index
+                ),
+                1.0,
             )
             cm = confusion_matrix(jnp.argmax(logits, axis=-1), aug["labels"], num_classes)
         else:
@@ -170,25 +174,17 @@ def make_step_fns(
                 1e-12,
             )
 
-            def micro_loss_and_grads(params, bstats, mb, k_drop_i):
-                def loss_fn(p):
-                    logits, t_feat, new_stats = _forward(
-                        state, p, bstats, mb, cfg, True, k_drop_i
-                    )
-                    num, _ = weighted_cross_entropy_parts(
-                        logits, mb["labels"], class_weights, cfg.train.ignore_index
-                    )
-                    ce = num / w_total  # this micro's share of the batch CE
-                    reg = orthogonality_regularizer(t_feat)
-                    return ce + reg_w * reg / k, (ce, reg, logits, new_stats)
-
-                return jax.value_and_grad(loss_fn, has_aux=True)(params)
+            def micro_ce(lg, lb):
+                num, _ = weighted_cross_entropy_parts(
+                    lg, lb, class_weights, cfg.train.ignore_index
+                )
+                return num / w_total  # this micro's share of the batch CE
 
             def body(carry, xs):
                 bstats, gacc, lacc, ceacc, regacc, cmacc = carry
                 mb, k_i = xs
-                (l, (ce_i, reg_i, logits, new_stats)), g = micro_loss_and_grads(
-                    state.params, bstats, mb, k_i
+                (l, (ce_i, reg_i, logits, new_stats)), g = loss_and_grads(
+                    state.params, bstats, mb, k_i, micro_ce, 1.0 / k
                 )
                 cm_i = confusion_matrix(
                     jnp.argmax(logits, axis=-1), mb["labels"], num_classes

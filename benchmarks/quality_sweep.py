@@ -155,7 +155,14 @@ def main():
             print(f"[{i}/{total}] {family} seed {seed} ...",
                   file=sys.stderr, flush=True)
             t0 = time.time()
-            row = run_one(family, seed, args)
+            try:
+                row = run_one(family, seed, args)
+            except Exception as e:
+                # one crashing arm must not abort an hours-long sweep; the
+                # error row keeps the resumable done-set honest (error rows
+                # are retried on re-run)
+                row = {"family": family, "seed": seed,
+                       "error": f"{type(e).__name__}: {e}"}
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
             key = ("miou" if "miou" in row.get("summary", {})

@@ -221,3 +221,49 @@ def test_seg_class_weights_from_histogram():
             elif counts[i] == counts[j]:
                 assert abs(w[i] - w[j]) < 1e-6
     assert seg_class_weights(ds, "nope", 5, beta=0.999)[0] is None
+
+
+def test_grad_accum_rejected_for_classification(capsys):
+    from ampnet_tpu.cli.main import cmd_train
+
+    rc = cmd_train(ns(dataset_path="/nonexistent", task="classification",
+                      arch="baseline", path_list_files="/nonexistent",
+                      out_path="/tmp/na", number_of_points=64,
+                      number_of_windows=2, batch_size=8, epochs=1,
+                      learning_rate=1e-3, weighing_method="EFS", seed=0,
+                      model_checkpoint="", num_devices=1, bn_mode="batch",
+                      dtype="float32", grad_accum=4))
+    assert rc == 1
+    assert "segmentation-only" in capsys.readouterr().err
+
+
+def test_cls_test_without_arch_uses_recorded_config(tmp_path):
+    """ampnet test --task classification on a baseline checkpoint without
+    --arch must follow the checkpoint-recorded arch for BOTH the model AND the
+    dataset/batcher (regression: the batcher gate read args.arch and fed
+    multi-window batches to the single-window model)."""
+    from ampnet_tpu.cli.main import cmd_preprocess, cmd_test, cmd_train
+
+    las, proc = str(tmp_path / "las"), str(tmp_path / "proc")
+    assert cmd_synth(ns(out_path=las, n_tiles=2, windows_per_tile=1,
+                        points_per_window=1200, window_size=50.0, seed=0,
+                        landscape_fraction=0.5)) == 0
+    assert cmd_preprocess(ns(in_path=las, out_path=proc, dataset="T",
+                             window_size=50.0, max_z=100.0, min_points=100,
+                             n_points=64, max_windows=2, hag_cell=2.0, seed=0,
+                             artifact_format="npz")) == 0
+    run = str(tmp_path / "run")
+    assert cmd_train(ns(dataset_path=proc, task="classification",
+                        arch="baseline", path_list_files=proc, out_path=run,
+                        number_of_points=64, number_of_windows=2, batch_size=2,
+                        epochs=1, learning_rate=1e-3, weighing_method="EFS",
+                        seed=0, model_checkpoint="", num_devices=1,
+                        bn_mode="batch", dtype="float32", grad_accum=1,
+                        device_cache="off", epoch_dispatch="off")) == 0
+    ckpt = os.path.join(run, "checkpoints", "baseline_classification_best")
+    assert os.path.isdir(ckpt)
+    # NO --arch (defaults to attention): recorded config must win end to end
+    assert cmd_test(ns(dataset_path=proc, task="classification", arch="attention",
+                       model_checkpoint=ckpt, path_list_files=proc,
+                       out_path=str(tmp_path / "res"), max_clusters=4,
+                       plot=False)) == 0

@@ -513,9 +513,14 @@ class InferenceServer:
         self.service = PredictionService(
             inferencer, batch_window_ms=batch_window_ms, max_batch_clouds=max_batch_clouds
         )
-        self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.service, model_name)
-        )
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default accept backlog of 5 RSTs fresh
+            # connections when many clients (re)connect at once — the
+            # serving bench's 16 simultaneous keep-alive clients hit this
+            # every round boundary
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), make_handler(self.service, model_name))
         self.httpd.daemon_threads = True
 
     @property

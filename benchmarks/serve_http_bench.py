@@ -77,7 +77,17 @@ def main():
                         if not work:
                             return
                         c = work.pop()
-                    n = post(c, conn)
+                    try:
+                        n = post(c, conn)
+                    except (ConnectionError, http.client.HTTPException):
+                        # dropped keep-alive connection: retry once on a fresh
+                        # one so the round's work actually completes (a dead
+                        # thread would silently shrink the measured work)
+                        conn.close()
+                        conn = http.client.HTTPConnection(
+                            args.host, args.port, timeout=1200
+                        )
+                        n = post(c, conn)
                     with lock:
                         done.append(n)
             finally:
@@ -88,7 +98,12 @@ def main():
         [t.start() for t in ts]
         [t.join() for t in ts]
         dt = time.time() - t0
-        pts = args.clouds * args.points
+        # count what actually completed — never credit clouds a crashed
+        # client thread dropped on the floor
+        pts = len(done) * args.points
+        if len(done) != args.clouds:
+            print(f"round {rnd}: WARNING only {len(done)}/{args.clouds} "
+                  "clouds completed")
         results.append(pts / dt)
         print(f"round {rnd}: {dt:.2f}s  {pts / dt / 1e3:.0f}k pts/s")
 

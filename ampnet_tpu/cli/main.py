@@ -464,6 +464,7 @@ def cmd_test(args) -> int:
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
         model_name=ckpt_name,
         plot_dir=os.path.join(args.out_path, "plots") if args.plot else None,
+        tta=getattr(args, "tta", 1),
     )
     print(json.dumps(out["summary"], indent=2))
     return 0
@@ -842,6 +843,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device wire format; float16 halves transfer bytes "
                         "(measured quality-neutral, +44%% serving on a "
                         "transfer-bound link)")
+    s.add_argument("--tta", type=int, default=1,
+                   help="test-time augmentation: average class probabilities "
+                        "over N dihedral transforms per cloud (4 = the 90-"
+                        "degree rotations, 8 = + mirrors); 1 = off")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("export", help="export a trained checkpoint to the "

@@ -37,6 +37,24 @@ from ampnet_tpu.ops.kmeans import balanced_kmeans, num_tiles_test
 KMEANS_FEATURE_IDX = (0, 1, 8)  # x, y, NDVI of the 9-feature layout
 
 
+def dihedral_xy(points9: np.ndarray, t: int) -> np.ndarray:
+    """Transform ``t`` (0–7) of the square's dihedral group applied to x, y.
+
+    t % 4 counter-clockwise 90° rotations about the origin — the exact-angle
+    subset of the training-time ``rotate_z`` augmentation (ops/augment.py;
+    reference rotate_point_cloud_z, utils/utils.py:582-604) — then a mirror
+    (x → −x) for t ≥ 4. Exact coordinate swaps/negations: no trig rounding.
+    Every other feature (z/HAG, I, RGB, NIR, NDVI) is rotation-invariant."""
+    out = np.array(points9, copy=True)
+    x, y = out[:, 0].copy(), out[:, 1].copy()
+    if t >= 4:
+        x = -x
+    for _ in range(t % 4):
+        x, y = -y, x
+    out[:, 0], out[:, 1] = x, y
+    return out
+
+
 def _replicate_variables(variables, mesh):
     from ampnet_tpu.parallel.mesh import replicate_sharding
 
@@ -235,6 +253,31 @@ class TiledInferencer:
             return np.asarray(flat[0])[:n].astype(np.int32), np.asarray(pflat[0])[:n]
         return np.asarray(out[0])[:n].astype(np.int32)
 
+    def predict_tta(self, points9: np.ndarray, seed: int = 0, transforms: int = 4,
+                    return_probs: bool = False):
+        """Test-time augmentation: average per-point class probabilities over
+        the first ``transforms`` dihedral transforms of the cloud (90° rotations
+        first, then their mirrors — ``dihedral_xy``), argmax the mean.
+
+        Per-point predictions are order-preserving, so the T transformed
+        copies align index-for-index; and identical N means every copy lands
+        in the SAME (k, cap) bucket — the whole ensemble runs as one batched
+        device call. Each copy also gets a different k-means/padding seed, so
+        the ensemble averages over tiling variation too. No reference
+        counterpart (its tester is single-pass)."""
+        T = int(transforms)
+        if T <= 1:
+            return self.predict(points9, seed, return_probs)
+        copies = [dihedral_xy(points9, t) for t in range(T)]
+        outs = self.predict_many(
+            copies, seeds=[seed + t for t in range(T)], return_probs=True
+        )
+        mean = np.mean([np.asarray(p, np.float32) for _, p in outs], axis=0)
+        preds = np.argmax(mean, axis=-1).astype(np.int32)
+        if return_probs:
+            return preds, mean.astype(np.float16)
+        return preds
+
     def predict_many(self, clouds, seeds=None, return_probs: bool = False) -> list:
         """Predictions for a list of [N_i, 9] clouds, batching same-bucket clouds
         into single device calls (serving path: dispatch overhead amortizes).
@@ -354,6 +397,7 @@ def evaluate_dataset(
     plot_dir: Optional[str] = None,
     plot_limit: int = 8,
     chunk_size: int = 16,
+    tta: int = 1,
 ) -> Dict:
     """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
     summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284).
@@ -362,8 +406,15 @@ def evaluate_dataset(
 
     Clouds are loaded and predicted ``chunk_size`` at a time, so peak host memory
     is bounded by the chunk (GB-scale test lists stream instead of materializing);
-    within a chunk, same-bucket clouds still batch into single device calls."""
+    within a chunk, same-bucket clouds still batch into single device calls.
+
+    ``tta > 1`` averages class probabilities over that many dihedral transforms
+    per cloud (``TiledInferencer.predict_tta`` semantics); the chunk shrinks so
+    chunk × tta stays within the device-batch budget."""
     num_classes = inferencer.cfg.model.num_classes
+    tta = max(int(tta), 1)
+    if tta > 1:
+        chunk_size = max(1, chunk_size // tta)
     rows: List[Dict] = []
     total_cm = np.zeros((num_classes, num_classes))
     gt_counts = np.zeros(num_classes, np.int64)
@@ -372,9 +423,31 @@ def evaluate_dataset(
     n_points_total = 0
     for start in range(0, len(dataset), chunk_size):
         chunk = [dataset[j] for j in range(start, min(start + chunk_size, len(dataset)))]
-        chunk_preds = inferencer.predict_many(
-            [s["points"] for s in chunk], seeds=list(range(start, start + len(chunk)))
-        )
+        if tta > 1:
+            expanded = [
+                dihedral_xy(s["points"], t) for s in chunk for t in range(tta)
+            ]
+            outs = inferencer.predict_many(
+                expanded,
+                seeds=[start * tta + j for j in range(len(expanded))],
+                return_probs=True,
+            )
+            chunk_preds = [
+                np.argmax(
+                    np.mean(
+                        [np.asarray(outs[ci * tta + t][1], np.float32)
+                         for t in range(tta)],
+                        axis=0,
+                    ),
+                    axis=-1,
+                ).astype(np.int32)
+                for ci in range(len(chunk))
+            ]
+            del outs, expanded
+        else:
+            chunk_preds = inferencer.predict_many(
+                [s["points"] for s in chunk], seeds=list(range(start, start + len(chunk)))
+            )
         for i, (sample, preds) in enumerate(zip(chunk, chunk_preds), start=start):
             m = evaluate_cloud(preds, sample["labels"], num_classes)
             total_cm += m.pop("confusion")

@@ -282,3 +282,56 @@ def test_whole_cloud_eval_for_single_window_models():
     logits, _, _ = model.apply(variables, jnp.asarray(padded), None, None, train=False)
     manual = np.asarray(jnp.argmax(logits, -1))[0, 0, :300]
     np.testing.assert_array_equal(preds, manual)
+
+
+def test_dihedral_xy_group_properties():
+    from ampnet_tpu.infer.tiled import dihedral_xy
+
+    rng = np.random.default_rng(7)
+    pc = rng.normal(size=(50, 9)).astype(np.float32)
+    # four 90-degree rotations compose to the identity
+    out = pc
+    for _ in range(4):
+        out = dihedral_xy(out, 1)
+    np.testing.assert_array_equal(out, pc)
+    # a mirror is an involution
+    np.testing.assert_array_equal(dihedral_xy(dihedral_xy(pc, 4), 4), pc)
+    # non-coordinate features never change, z included
+    for t in range(8):
+        np.testing.assert_array_equal(dihedral_xy(pc, t)[:, 2:], pc[:, 2:])
+    # rotation preserves radii exactly (integer swaps, no trig)
+    r0 = pc[:, 0] ** 2 + pc[:, 1] ** 2
+    r1 = dihedral_xy(pc, 1)[:, 0] ** 2 + dihedral_xy(pc, 1)[:, 1] ** 2
+    np.testing.assert_array_equal(r0, r1)
+
+
+def test_predict_tta_single_transform_matches_predict(inferencer):
+    rng = np.random.default_rng(11)
+    cloud, _ = make_cloud(rng, 900)
+    np.testing.assert_array_equal(
+        inferencer.predict_tta(cloud, seed=3, transforms=1),
+        inferencer.predict(cloud, seed=3),
+    )
+
+
+def test_predict_tta_runs_and_is_deterministic(inferencer):
+    rng = np.random.default_rng(12)
+    cloud, _ = make_cloud(rng, 700)
+    a = inferencer.predict_tta(cloud, seed=0, transforms=4)
+    b = inferencer.predict_tta(cloud, seed=0, transforms=4)
+    assert a.shape == (700,)
+    np.testing.assert_array_equal(a, b)
+    preds, probs = inferencer.predict_tta(cloud, seed=0, transforms=4,
+                                          return_probs=True)
+    np.testing.assert_array_equal(preds, a)
+    assert probs.shape == (700, inferencer.cfg.model.num_classes)
+    # averaged probabilities still sum to one per point
+    np.testing.assert_allclose(probs.astype(np.float64).sum(-1), 1.0, atol=2e-2)
+
+
+def test_evaluate_dataset_tta(inferencer):
+    rng = np.random.default_rng(13)
+    ds = CloudListDataset([make_cloud(rng, 700), make_cloud(rng, 1100)])
+    out = evaluate_dataset(inferencer, ds, tta=2)
+    assert out["summary"]["n_clouds"] == 2
+    assert 0.0 <= out["summary"]["oa"] <= 1.0

@@ -517,13 +517,36 @@ def cmd_infer(args) -> int:
     # chunked predict_many: same-bucket clouds batch into single device calls
     # and bucket fetches pipeline (infer/tiled.py), instead of one dispatch
     # round-trip per cloud
-    chunk_size = 16
+    tta = max(getattr(args, "tta", 1), 1)
+    chunk_size = max(1, 16 // tta)
     for start in range(0, len(ds), chunk_size):
         chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]
         feats = [normalize_xy_neg_one(select_model_features(s["points"])) for s in chunk]
-        outs = inferencer.predict_many(
-            feats, seeds=list(range(start, start + len(chunk))), return_probs=save_probs
-        )
+        if tta > 1:
+            # dihedral ensemble (see evaluate_dataset): all T copies of a
+            # cloud share one bucket, so the ensemble batches into one call
+            from ampnet_tpu.infer.tiled import dihedral_xy
+
+            expanded = [dihedral_xy(f, t) for f in feats for t in range(tta)]
+            raw = inferencer.predict_many(
+                expanded,
+                seeds=[start * tta + j for j in range(len(expanded))],
+                return_probs=True,
+            )
+            outs = []
+            for ci in range(len(chunk)):
+                mean = np.mean(
+                    [np.asarray(raw[ci * tta + t][1], np.float32)
+                     for t in range(tta)],
+                    axis=0,
+                )
+                preds = np.argmax(mean, -1).astype(np.int32)
+                outs.append((preds, mean.astype(np.float16)) if save_probs
+                            else preds)
+        else:
+            outs = inferencer.predict_many(
+                feats, seeds=list(range(start, start + len(chunk))), return_probs=save_probs
+            )
         for sample, out in zip(chunk, outs):
             stem = os.path.splitext(sample["name"])[0]
             if save_probs:
@@ -878,6 +901,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--save_probs", action="store_true",
                    help="also write per-point softmax confidences "
                         "(<name>_probs.npy, float16)")
+    s.add_argument("--tta", type=int, default=1,
+                   help="dihedral test-time-augmentation ensemble size "
+                        "(as in `ampnet test`; .pkl cloud mode only)")
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("serve", help="long-lived HTTP inference server")

@@ -482,7 +482,32 @@ def make_handler(service: PredictionService, model_name: str):
 
                 clouds = [normalize_xy_neg_one(c) for c in clouds]
             probs = bool(req.get("probs", False))
-            outs = service.predict(clouds, probs=probs)
+            tta = int(req.get("tta", 1))
+            if not 1 <= tta <= 8:
+                self._send_json(400, {"error": "tta must be 1..8"})
+                return
+            if tta > 1:
+                # dihedral ensemble (infer/tiled.py::predict_tta semantics);
+                # expansion happens here so the batching service stays
+                # untouched — all T copies ride one micro-batch. The
+                # service's fixed per-cloud seed keeps responses
+                # deterministic; copies still tile differently because
+                # rotation moves the k-means features themselves.
+                from ampnet_tpu.infer.tiled import dihedral_xy
+
+                expanded = [dihedral_xy(c, t) for c in clouds for t in range(tta)]
+                raw = service.predict(expanded, probs=True)
+                outs = []
+                for ci in range(len(clouds)):
+                    mean = np.mean(
+                        [np.asarray(raw[ci * tta + t][1], np.float32)
+                         for t in range(tta)],
+                        axis=0,
+                    )
+                    preds = np.argmax(mean, -1).astype(np.int32)
+                    outs.append((preds, mean) if probs else preds)
+            else:
+                outs = service.predict(clouds, probs=probs)
             t0 = time.time()
             if probs:
                 body = {

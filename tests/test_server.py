@@ -371,3 +371,27 @@ def test_exec_ema_tracks_device_time_not_drain_window():
     # true exec is 0.05 s; the old feedback loop pushed the EMA toward the
     # 5 s cap (adds ~0.3 x window per batch under sustained load)
     assert 0.0 < ema < 0.2, ema
+
+
+def test_json_tta_ensemble(server):
+    rng = np.random.default_rng(9)
+    clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (60, 95)]
+    payload = json.dumps(
+        {"clouds": [c.tolist() for c in clouds], "tta": 4, "probs": True}
+    ).encode()
+    status, _, body = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200
+    out = json.loads(body)
+    assert [len(l) for l in out["labels"]] == [60, 95]
+    probs = np.asarray(out["probs"][1])
+    assert probs.shape == (95, 5)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=2e-2)
+    np.testing.assert_array_equal(np.argmax(probs, axis=1), out["labels"][1])
+    # out-of-range ensemble size is a client error
+    bad = json.dumps({"clouds": [clouds[0].tolist()], "tta": 99}).encode()
+    import pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", bad, {"Content-Type": "application/json"})
+    assert e.value.code == 400

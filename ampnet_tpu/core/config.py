@@ -126,6 +126,10 @@ class TrainConfig:
     # update — a memory lever for batches whose residuals exceed HBM
     # (train/step.py grad_accum path; docs/design.md batch-scaling study)
     grad_accum: int = 1
+    # write best-val checkpoints from a background thread (device copies are
+    # snapshotted on the loop, fetch + orbax write happen off the critical
+    # path); False = the reference's inline-save behavior
+    async_checkpoint: bool = True
 
 
 @dataclass(frozen=True)

@@ -202,6 +202,16 @@ class Trainer:
         epochs = epochs or self.cfg.train.epochs
         history = {"train": [], "val": []}
         t_start = time.time()
+        try:
+            self._fit_loop(epochs, history)
+        finally:
+            # land any in-flight async checkpoint before handing control back
+            # (callers immediately restore the best checkpoint to evaluate)
+            self.ckpt.wait()
+        self.log_train.scalar("total_hours", (time.time() - t_start) / 3600, self.epoch)
+        return history
+
+    def _fit_loop(self, epochs: int, history: Dict) -> None:
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             t_ep = time.time()
@@ -261,14 +271,10 @@ class Trainer:
             if t.early_stop_patience and self.epochs_since_improvement >= t.early_stop_patience:
                 # reference early-exit semantics (baseline/train_segmentation.py:266)
                 break
-        self.log_train.scalar("total_hours", (time.time() - t_start) / 3600, self.epoch)
-        return history
 
     def _save_best(self, val_metrics: Dict) -> None:
         self.state = self.state.replace(epoch=jax.numpy.asarray(self.epoch, jax.numpy.int32))
-        self.ckpt.save(
-            f"{self.name}_best",
-            jax.device_get(self.state),
+        meta = dict(
             task=self.task,
             accuracy=val_metrics.get("accuracy", 0.0),
             epochs_since_improvement=self.epochs_since_improvement,
@@ -279,3 +285,15 @@ class Trainer:
             number_of_points=self.train_data.n_points,
             extra_meta={"best_val_loss": self.best_val_loss},
         )
+        if self.cfg.train.async_checkpoint:
+            # The train step donates its input state, so the live buffers may
+            # be freed by the next step — snapshot with on-device copies (cheap,
+            # dispatched async) and let the writer thread do the device→host
+            # fetch + orbax write off the epoch loop's critical path.
+            snap = jax.tree.map(
+                lambda x: jax.numpy.copy(x) if isinstance(x, jax.Array) else x,
+                self.state,
+            )
+            self.ckpt.save_async(f"{self.name}_best", snap, **meta)
+        else:
+            self.ckpt.save(f"{self.name}_best", jax.device_get(self.state), **meta)

@@ -71,6 +71,84 @@ def test_fit_and_checkpoint(trainer):
     assert os.path.getsize(os.path.join(trainer.log_train.logdir, "scalars.csv")) > 0
 
 
+def test_async_checkpoint_matches_sync(tmp_path):
+    """The async writer (device-copy snapshot + background fetch/write) must land
+    byte-identical checkpoints to the reference-style inline save, even while the
+    donating train step keeps reusing the live state buffers."""
+    import jax
+
+    ds = MemoryDataset()
+    params = {}
+    for mode in (True, False):
+        cfg = AMPNetConfig(
+            train=TrainConfig(
+                batch_size=3, learning_rate=3e-3, epochs=2, async_checkpoint=mode
+            )
+        )
+        wd = str(tmp_path / ("async" if mode else "sync"))
+        t = Trainer(
+            cfg,
+            AMPNetSegmenter(cfg.model),
+            PaddedBatcher(ds, 3, n_points=96, max_windows=4, seed=0, prefetch=0),
+            PaddedBatcher(ds, 3, n_points=96, max_windows=4, seed=1, prefetch=0),
+            wd,
+            name="t",
+        )
+        t.fit(epochs=2)  # fit() drains the writer before returning
+        assert t.ckpt.exists("t_best")
+        restored, meta = t.ckpt.restore("t_best", t.state)
+        params[mode] = (jax.device_get(restored.params), meta)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), params[True][0], params[False][0]
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert params[True][1]["accuracy"] == params[False][1]["accuracy"]
+
+
+def test_async_writer_coalesces_and_surfaces_errors(tmp_path):
+    """save_async queues per-name (newest wins) and read paths drain the queue;
+    a failing write re-raises from wait()."""
+    from ampnet_tpu.core.checkpoint import CheckpointManager
+
+    class FakeState:
+        def __init__(self, v):
+            self.params = {"w": np.full((4,), v, np.float32)}
+            self.batch_stats = {}
+            self.opt_state = {}
+            self.step = np.asarray(v)
+            self.epoch = np.asarray(v)
+            self.lr_scale = np.asarray(1.0, np.float32)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    for v in (1, 2, 3):  # rapid-fire: later queued states supersede earlier ones
+        mgr.save_async("best", FakeState(v))
+    mgr.wait()
+    assert mgr.exists("best")
+    restored, _ = CheckpointManagerRestoreHelper(mgr, FakeState(0))
+    assert float(restored["params"]["w"][0]) == 3.0
+    assert int(np.asarray(restored["step"])) == 3
+
+    bad = FakeState(9)
+    bad.params = {"w": object()}  # unserializable leaf -> writer thread fails
+    mgr.save_async("best", bad)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        mgr.wait()
+    mgr.wait()  # error is consumed; manager stays usable
+    mgr.save_async("best", FakeState(5))
+    mgr.wait()
+
+
+def CheckpointManagerRestoreHelper(mgr, template_state):
+    """restore() needs a .replace()-style state; read the raw payload instead."""
+    import orbax.checkpoint as ocp
+
+    payload = mgr._payload(template_state)
+    restored = ocp.PyTreeCheckpointer().restore(
+        mgr.path("best") + "/state", item=payload
+    )
+    return restored, mgr.load_meta("best")
+
+
 def test_resume_restores_state(trainer):
     import jax
 

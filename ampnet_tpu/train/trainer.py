@@ -150,11 +150,14 @@ class Trainer:
             self.eval_step, "__wrapped__"
         )
 
-    def _run_epoch_fused(self, data, train: bool) -> Dict:
-        """One lax.scan program call for the whole epoch (train/epoch.py)."""
+    def _dispatch_fused(self, data, train: bool):
+        """Dispatch ONE lax.scan program for the whole epoch (train/epoch.py) and
+        return the on-device metrics tree WITHOUT fetching — dispatch is async,
+        so a caller can queue the val scan behind the train scan before paying
+        the first device→host round trip."""
         idxs, pads, _ = data.epoch_index_matrix()
         if idxs.shape[0] == 0:
-            return {}
+            return None
         key = (train, idxs.shape)
         if key not in self._epoch_fns:
             from ampnet_tpu.train.epoch import make_epoch_fns
@@ -166,6 +169,12 @@ class Trainer:
             self.state, ms = self._epoch_fns[key](self.state, data._data, idxs, pads)
         else:
             ms = self._epoch_fns[key](self.state, data._data, idxs, pads)
+        return ms
+
+    @staticmethod
+    def _collect_fused(ms) -> Dict:
+        if ms is None:
+            return {}
         ms = jax.device_get(ms)  # ONE fetch per epoch
         confusions = [np.asarray(c) for c in ms["confusion"]]
         losses = {
@@ -174,6 +183,9 @@ class Trainer:
             if k in ms
         }
         return _epoch_metrics(confusions, losses)
+
+    def _run_epoch_fused(self, data, train: bool) -> Dict:
+        return self._collect_fused(self._dispatch_fused(data, train))
 
     def _run_epoch(self, data: PaddedBatcher, train: bool) -> Dict:
         if self._use_epoch_dispatch(data):
@@ -212,10 +224,26 @@ class Trainer:
         return history
 
     def _fit_loop(self, epochs: int, history: Dict) -> None:
+        # With BOTH splits device-cached, the val scan is queued behind the
+        # train scan BEFORE the first metrics fetch: one device→host round
+        # trip per epoch instead of two, and the device never idles between
+        # the train and val programs.
+        overlap = (
+            self.val_data is not None
+            and len(self.val_data) > 0
+            and self._use_epoch_dispatch(self.train_data)
+            and self._use_epoch_dispatch(self.val_data)
+        )
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             t_ep = time.time()
-            tm = self._run_epoch(self.train_data, train=True)
+            vms = None
+            if overlap:
+                tm_dev = self._dispatch_fused(self.train_data, train=True)
+                vms = self._dispatch_fused(self.val_data, train=False)
+                tm = self._collect_fused(tm_dev)
+            else:
+                tm = self._run_epoch(self.train_data, train=True)
             # observability: epoch wall + training throughput (the reference
             # prints wall-clock deltas, train_pointnet-attention.py:334)
             wall = time.time() - t_ep
@@ -243,7 +271,11 @@ class Trainer:
                 else:
                     self.epochs_since_improvement += 1
             else:
-                vm = self._run_epoch(self.val_data, train=False)
+                vm = (
+                    self._collect_fused(vms)
+                    if vms is not None
+                    else self._run_epoch(self.val_data, train=False)
+                )
                 self.log_val.scalars(vm, epoch)
                 self.log_val.scalar(
                     "epochs_since_improvement", self.epochs_since_improvement, epoch

@@ -185,6 +185,7 @@ def _build_cfg(args):
             weighing_method=args.weighing_method,
             seed=args.seed,
             grad_accum=getattr(args, "grad_accum", 1) or 1,
+            focal_gamma=getattr(args, "focal_gamma", 0.0) or 0.0,
             async_checkpoint=getattr(args, "ckpt_io", "async") != "sync",
         ),
     )
@@ -231,6 +232,10 @@ def cmd_train(args) -> int:
         # silently ignoring the user's memory lever
         print("--grad_accum is segmentation-only (the classification step has "
               "no accumulation path; its residuals are tiny)", file=sys.stderr)
+        return 1
+    if cfg.train.focal_gamma > 0 and args.task == "classification":
+        print("--focal_gamma is segmentation-only (make_cls_step_fns builds "
+              "its own weighted-CE objective)", file=sys.stderr)
         return 1
     # short/ragged batches must stay divisible by grad_accum too — fold it
     # into the pad multiple alongside the device count
@@ -839,6 +844,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="compute dtype (params stay fp32); bfloat16 measured "
                         "+57%% train throughput on one v5e")
+    s.add_argument("--focal_gamma", type=float, default=0.0,
+                   help="focal-loss exponent for segmentation CE (0 = plain "
+                        "weighted CE; 2 = the standard focal setting — "
+                        "concentrates gradient on hard/rare classes)")
     s.add_argument("--ckpt_io", choices=["async", "sync"], default="async",
                    help="best-val checkpoint writes: 'async' snapshots on "
                         "device and writes from a background thread; 'sync' "

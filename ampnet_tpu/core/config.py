@@ -126,6 +126,10 @@ class TrainConfig:
     # update — a memory lever for batches whose residuals exceed HBM
     # (train/step.py grad_accum path; docs/design.md batch-scaling study)
     grad_accum: int = 1
+    # focal-loss exponent for segmentation CE (0 = plain weighted CE, the
+    # reference objective); γ>0 fades well-classified points so the gradient
+    # concentrates on hard/rare ones (train/losses.py::weighted_focal_parts)
+    focal_gamma: float = 0.0
     # write best-val checkpoints from a background thread (device copies are
     # snapshotted on the loop, fetch + orbax write happen off the critical
     # path); False = the reference's inline-save behavior

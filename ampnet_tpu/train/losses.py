@@ -19,19 +19,14 @@ from typing import Optional
 import jax.numpy as jnp
 
 
-def weighted_cross_entropy_parts(
-    logits: jnp.ndarray,  # [..., C]
-    targets: jnp.ndarray,  # [...], int, ignore_index marks padding
-    class_weights: Optional[jnp.ndarray] = None,  # [C]
-    ignore_index: int = -1,
+def _per_point_ce(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray],
+    ignore_index: int,
 ) -> tuple:
-    """(numerator, weight_sum) of the torch weighted mean: ``Σ ce·w`` and ``Σ w``.
-
-    Exposed separately so gradient accumulation can normalize every micro-batch
-    by the GLOBAL weight sum (train/step.py): the weight sum depends only on the
-    targets, so it is known before any forward pass, and ``Σ_k ∇(N_k / W_total)``
-    is exactly the full-batch CE gradient even when micro-batches carry unequal
-    valid-weight mass."""
+    """Flattened per-point (ce, weight) with torch CrossEntropyLoss semantics;
+    weight is 0 for ignored targets."""
     num_classes = logits.shape[-1]
     logits = logits.reshape(-1, num_classes).astype(jnp.float32)
     targets = targets.reshape(-1)
@@ -48,7 +43,58 @@ def weighted_cross_entropy_parts(
         w = valid.astype(jnp.float32)
     else:
         w = jnp.take(class_weights.astype(jnp.float32), safe_t) * valid.astype(jnp.float32)
+    return ce, w
+
+
+def weighted_cross_entropy_parts(
+    logits: jnp.ndarray,  # [..., C]
+    targets: jnp.ndarray,  # [...], int, ignore_index marks padding
+    class_weights: Optional[jnp.ndarray] = None,  # [C]
+    ignore_index: int = -1,
+) -> tuple:
+    """(numerator, weight_sum) of the torch weighted mean: ``Σ ce·w`` and ``Σ w``.
+
+    Exposed separately so gradient accumulation can normalize every micro-batch
+    by the GLOBAL weight sum (train/step.py): the weight sum depends only on the
+    targets, so it is known before any forward pass, and ``Σ_k ∇(N_k / W_total)``
+    is exactly the full-batch CE gradient even when micro-batches carry unequal
+    valid-weight mass."""
+    ce, w = _per_point_ce(logits, targets, class_weights, ignore_index)
     return (ce * w).sum(), w.sum()
+
+
+def weighted_focal_parts(
+    logits: jnp.ndarray,  # [..., C]
+    targets: jnp.ndarray,  # [...], int, ignore_index marks padding
+    class_weights: Optional[jnp.ndarray] = None,  # [C]
+    gamma: float = 2.0,
+    ignore_index: int = -1,
+) -> tuple:
+    """(numerator, weight_sum) of the α-weighted focal loss (Lin et al. 2017):
+    per-point CE modulated by ``(1 − p_t)^γ`` so well-classified points fade and
+    the gradient concentrates on hard/rare ones (tower ≈ 1 % of points on the
+    hard benchmark — BASELINE.md). No reference counterpart (the reference's
+    only imbalance lever is fixed CE weights, train_pointnet-attention.py:127).
+
+    The denominator is the SAME label-only weight sum as the CE path, so
+    ``γ = 0`` reduces exactly to ``weighted_cross_entropy_parts`` and the
+    grad-accumulation global-normalizer argument carries over unchanged."""
+    ce, w = _per_point_ce(logits, targets, class_weights, ignore_index)
+    pt = jnp.exp(-ce)  # probability of the true class
+    # clip keeps the γ<1 gradient finite at pt→1; value impact ≤1e-12·ce
+    mod = jnp.power(jnp.clip(1.0 - pt, 1e-12, 1.0), jnp.float32(gamma))
+    return (mod * ce * w).sum(), w.sum()
+
+
+def weighted_focal(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    gamma: float = 2.0,
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    num, den = weighted_focal_parts(logits, targets, class_weights, gamma, ignore_index)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def cross_entropy_weight_sum(

@@ -32,6 +32,8 @@ from ampnet_tpu.train.losses import (
     orthogonality_regularizer,
     weighted_cross_entropy,
     weighted_cross_entropy_parts,
+    weighted_focal,
+    weighted_focal_parts,
 )
 from ampnet_tpu.train.state import AMPTrainState
 
@@ -85,8 +87,12 @@ def make_step_fns(
     differs from the unaccumulated step is the ``reg_weight``-scaled (1e-3)
     T-Net regularizer: a Frobenius norm is a sqrt of a sum, so accumulation uses
     the mean of per-micro norms — same zero set, gradient direction differs only
-    in that term's positive per-micro scale. A memory lever for batch sizes
-    whose stored residuals exceed HBM (docs/design.md batch-scaling study)."""
+    in that term's positive per-micro scale. Exactness is about the LOSS
+    algebra: batch-mode BatchNorm (the T-Net FC head is always batch-mode over
+    windows, per the reference's BatchNorm1d on [B, C]) computes per-micro
+    statistics, the same approximation every framework's accumulation makes.
+    A memory lever for batch sizes whose stored residuals exceed HBM
+    (docs/design.md batch-scaling study)."""
 
     class_weights = jnp.asarray(cfg.train.class_weights, jnp.float32)
     reg_w = cfg.train.reg_weight
@@ -94,6 +100,33 @@ def make_step_fns(
     grad_accum = grad_accum or getattr(cfg.train, "grad_accum", 1)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    focal_gamma = float(getattr(cfg.train, "focal_gamma", 0.0))
+    if focal_gamma < 0:
+        raise ValueError(f"focal_gamma must be >= 0, got {focal_gamma}")
+
+    # the data-loss term: weighted CE (reference semantics) or its focal
+    # modulation; the eval loss follows so best-val selection tracks the
+    # training objective
+    if focal_gamma > 0:
+        def data_loss(lg, lb):
+            return weighted_focal(
+                lg, lb, class_weights, focal_gamma, cfg.train.ignore_index
+            )
+
+        def data_loss_parts(lg, lb):
+            return weighted_focal_parts(
+                lg, lb, class_weights, focal_gamma, cfg.train.ignore_index
+            )
+    else:
+        def data_loss(lg, lb):
+            return weighted_cross_entropy(
+                lg, lb, class_weights, cfg.train.ignore_index
+            )
+
+        def data_loss_parts(lg, lb):
+            return weighted_cross_entropy_parts(
+                lg, lb, class_weights, cfg.train.ignore_index
+            )
 
     recipe = tuple(cfg.train.augmentations) if augment else ()
 
@@ -146,11 +179,7 @@ def make_step_fns(
 
         if grad_accum == 1:
             (loss, (ce, reg, logits, new_stats)), grads = loss_and_grads(
-                state.params, state.batch_stats, aug, k_drop,
-                lambda lg, lb: weighted_cross_entropy(
-                    lg, lb, class_weights, cfg.train.ignore_index
-                ),
-                1.0,
+                state.params, state.batch_stats, aug, k_drop, data_loss, 1.0,
             )
             cm = confusion_matrix(jnp.argmax(logits, axis=-1), aug["labels"], num_classes)
         else:
@@ -175,10 +204,8 @@ def make_step_fns(
             )
 
             def micro_ce(lg, lb):
-                num, _ = weighted_cross_entropy_parts(
-                    lg, lb, class_weights, cfg.train.ignore_index
-                )
-                return num / w_total  # this micro's share of the batch CE
+                num, _ = data_loss_parts(lg, lb)
+                return num / w_total  # this micro's share of the batch data loss
 
             def body(carry, xs):
                 bstats, gacc, lacc, ceacc, regacc, cmacc = carry
@@ -216,12 +243,10 @@ def make_step_fns(
     @jax.jit
     def eval_step(state: AMPTrainState, batch: Batch):
         logits, _, _ = _forward(state, state.params, state.batch_stats, batch, cfg, False, None)
-        ce = weighted_cross_entropy(
-            logits, batch["labels"], class_weights, cfg.train.ignore_index
-        )
+        ce = data_loss(logits, batch["labels"])
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, batch["labels"], num_classes)
-        # validation loss is CE only (train_pointnet-attention.py:471-473)
+        # validation loss is the data term only (train_pointnet-attention.py:471-473)
         return {"loss": ce, "ce_loss": ce, "confusion": cm}, preds
 
     return train_step, eval_step

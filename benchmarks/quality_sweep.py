@@ -62,6 +62,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         num_devices=1,
         bn_mode="batch",
         dtype=dtype,
+        focal_gamma=0.0,
         reference_noise_compat=False,
     )
 
@@ -84,15 +85,22 @@ def test_args(ta, family):
 
 
 def run_one(family, seed, args):
-    """family may carry a weighting-arm suffix: 'attention@INS' trains with
-    --seg_weighing INS (cli/main.py::seg_class_weights); the full spec stays
-    the row label so arms land as distinct families in the output."""
+    """family may carry an arm suffix: 'attention@INS' trains with
+    --seg_weighing INS (cli/main.py::seg_class_weights); 'attention@focal2'
+    trains with --focal_gamma 2 (train/losses.py::weighted_focal_parts). The
+    full spec stays the row label so arms land as distinct families."""
     from ampnet_tpu.cli.main import cmd_test, cmd_train
 
-    base, _, seg_weighing = family.partition("@")
+    base, _, mod = family.partition("@")
+    seg_weighing, focal_gamma = "", 0.0
+    if mod.startswith("focal"):
+        focal_gamma = float(mod[len("focal"):] or 2.0)
+    else:
+        seg_weighing = mod
     ta = train_args(base, seed, args.data, args.scratch, args.epochs,
                     args.batch_size, args.n_points, args.n_windows, args.dtype,
                     seg_weighing=seg_weighing)
+    ta.focal_gamma = focal_gamma
     ta.out_path = os.path.join(args.scratch, f"{family.replace('@', '_')}_s{seed}")
     os.makedirs(ta.out_path, exist_ok=True)
     t0 = time.time()

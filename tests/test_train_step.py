@@ -255,3 +255,64 @@ def test_remat_encoder_exact_parity(cfg, setup):
     g, g_r = loss(model), loss(model_r)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), g, g_r)
+
+
+def test_focal_step_runs_and_differs_from_ce(cfg, setup):
+    """focal_gamma>0 swaps the data term (train/losses.py::weighted_focal);
+    the step runs, the loss is finite and strictly below CE (modulation in
+    (0,1)), and the eval loss follows the training objective."""
+    _, _, batch = setup
+    cfg_f = AMPNetConfig(
+        model=ModelConfig(dropout=0.0, bn_mode="window"),
+        train=TrainConfig(reg_weight=0.0, learning_rate=5e-3, focal_gamma=2.0),
+    )
+    cfg_ce = AMPNetConfig(
+        model=ModelConfig(dropout=0.0, bn_mode="window"),
+        train=TrainConfig(reg_weight=0.0, learning_rate=5e-3),
+    )
+    model = AMPNetSegmenter(cfg_f.model)
+    state = create_train_state(cfg_f, model, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=1)
+
+    step_f, eval_f = make_step_fns(cfg_f, augment=False)
+    step_ce, _ = make_step_fns(cfg_ce, augment=False)
+    _, m_f = step_f(clone_state(state), batch)
+    _, m_ce = step_ce(clone_state(state), batch)
+    assert np.isfinite(float(m_f["loss"]))
+    assert float(m_f["loss"]) < float(m_ce["loss"])
+
+    # eval loss follows the training objective
+    em, _ = eval_f(state, batch)
+    assert float(em["loss"]) == pytest.approx(float(m_f["ce_loss"]), rel=1e-4)
+
+
+def test_grad_accum_focal_gradient_exact_vs_full_batch(cfg, setup):
+    """The focal numerator is point-separable, so the grad-accum global
+    normalizer argument carries over from CE. Like the CE exactness test,
+    micro-batches must share BN statistics for the comparison to isolate the
+    loss algebra: the T-Net FC-head BN is batch-mode over windows by design
+    (reference BatchNorm1d on [B, C], pointnetAtt.py:30-36), so micros with
+    different point sets legitimately see different statistics. Duplicating
+    the point set across micros (labels may differ) makes the stats equal."""
+    _, _, batch = setup
+    cfg_f = AMPNetConfig(
+        model=ModelConfig(dropout=0.0, bn_mode="window"),
+        train=TrainConfig(reg_weight=0.0, learning_rate=5e-3, focal_gamma=2.0),
+    )
+    model = AMPNetSegmenter(cfg_f.model)
+    half_b = {k: v for k, v in batch.items()}
+    labels_b = np.array(batch["labels"])
+    labels_b[:, 1:, :] = -1
+    labels_b[:, 0, ::2] = -1  # unequal valid-weight mass across micros
+    half_b["labels"] = jnp.asarray(labels_b)
+    dup = {k: jnp.concatenate([batch[k], half_b[k]], axis=0) for k in batch}
+    state = create_train_state(cfg_f, model, jax.random.PRNGKey(0), dup,
+                               steps_per_epoch=1)
+
+    step_full, _ = make_step_fns(cfg_f, augment=False, grad_accum=1)
+    step_acc, _ = make_step_fns(cfg_f, augment=False, grad_accum=2)
+    _, m_full = step_full(clone_state(state), dup)
+    _, m_acc = step_acc(clone_state(state), dup)
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-5)
+    assert float(m_acc["grad_norm"]) == pytest.approx(
+        float(m_full["grad_norm"]), rel=1e-4)

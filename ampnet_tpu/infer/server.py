@@ -15,6 +15,8 @@ Endpoints (stdlib http.server; no third-party deps):
   * ``application/octet-stream``: one cloud, float32 (or float16, see
     ``X-Dtype``) little-endian ``[N, 9]`` rows in the model feature layout
     ``[x, y, z, I, R, G, B, NIR, NDVI]``; response is ``[N]`` int8 labels.
+    ``X-TTA: T`` (1..8) averages a T-view dihedral ensemble (same semantics
+    as the JSON ``"tta"`` field / ``infer --tta``).
   * ``application/json``: ``{"clouds": [[[f0..f8], ...], ...],
     "probs": false, "normalize": false}``; response
     ``{"labels": [[...], ...], "probs": [[[...], ...]]?}``.
@@ -454,10 +456,26 @@ def make_handler(service: PredictionService, model_name: str):
                               f"(got {len(raw)} bytes)"},
                 )
                 return
+            tta = int(self.headers.get("X-TTA", 1))
+            if not 1 <= tta <= 8:
+                self._send_json(400, {"error": "X-TTA must be 1..8"})
+                return
             t0 = time.time()
             pts = np.frombuffer(raw, dtype=dtype).reshape(-1, n_feat).astype(np.float32)
             service.stats.record_decode(time.time() - t0)
-            (labels,) = service.predict([pts], probs=False)
+            if tta > 1:
+                # same dihedral ensemble as the JSON path; all T copies ride
+                # one micro-batch through the untouched batching service
+                from ampnet_tpu.infer.tiled import dihedral_xy
+
+                raw_out = service.predict(
+                    [dihedral_xy(pts, t) for t in range(tta)], probs=True
+                )
+                mean = np.mean([np.asarray(pr, np.float32) for _, pr in raw_out],
+                               axis=0)
+                labels = np.argmax(mean, -1).astype(np.int32)
+            else:
+                (labels,) = service.predict([pts], probs=False)
             t0 = time.time()
             body = np.asarray(labels, np.int8).tobytes()
             service.stats.record_encode(time.time() - t0)

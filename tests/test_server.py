@@ -395,3 +395,30 @@ def test_json_tta_ensemble(server):
     with _pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/predict", bad, {"Content-Type": "application/json"})
     assert e.value.code == 400
+
+
+def test_binary_tta_ensemble(server):
+    """X-TTA on the binary wire: same dihedral-ensemble semantics as JSON
+    'tta'; result must equal the JSON-path ensemble on the same cloud."""
+    rng = np.random.default_rng(10)
+    pts = rng.normal(size=(70, 9)).astype(np.float32)
+    status, ctype, body = _post(
+        server, "/v1/predict", pts.tobytes(),
+        {"Content-Type": "application/octet-stream", "X-TTA": "4"},
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    labels = np.frombuffer(body, np.int8)
+    assert labels.shape == (70,)
+
+    payload = json.dumps({"clouds": [pts.tolist()], "tta": 4}).encode()
+    status, _, jbody = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200
+    np.testing.assert_array_equal(labels, np.asarray(json.loads(jbody)["labels"][0], np.int8))
+
+    import pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", pts.tobytes(),
+              {"Content-Type": "application/octet-stream", "X-TTA": "99"})
+    assert e.value.code == 400

@@ -67,7 +67,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
     )
 
 
-def test_args(ta, family):
+def test_args(ta, family, tta=1):
     ckpt = os.path.join(ta.out_path, "checkpoints", f"{ta.arch}_{ta.task}_best")
     return SimpleNamespace(
         dataset_path=ta.dataset_path,
@@ -81,6 +81,7 @@ def test_args(ta, family):
         backend="xla",
         tiler="balanced",
         transfer_dtype=None,
+        tta=tta,
     )
 
 
@@ -104,24 +105,33 @@ def run_one(family, seed, args):
     ta.out_path = os.path.join(args.scratch, f"{family.replace('@', '_')}_s{seed}")
     os.makedirs(ta.out_path, exist_ok=True)
     t0 = time.time()
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = cmd_train(ta)
-    if rc != 0:
-        return {"family": family, "seed": seed, "error": f"train rc={rc}"}
+    if getattr(args, "eval_only", False):
+        ckpt = os.path.join(ta.out_path, "checkpoints", f"{ta.arch}_{ta.task}_best")
+        if not os.path.exists(ckpt):
+            return {"family": family, "seed": seed,
+                    "error": f"--eval_only: no checkpoint at {ckpt}"}
+    else:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cmd_train(ta)
+        if rc != 0:
+            return {"family": family, "seed": seed, "error": f"train rc={rc}"}
     train_s = time.time() - t0
 
     t0 = time.time()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = cmd_test(test_args(ta, family))
+        rc = cmd_test(test_args(ta, family, tta=args.tta))
     eval_s = time.time() - t0
     if rc != 0:
         return {"family": family, "seed": seed, "error": f"test rc={rc}"}
     txt = buf.getvalue()
     summary = json.loads(txt[txt.find("{"):])
-    return {"family": family, "seed": seed, "train_s": round(train_s, 1),
-            "eval_s": round(eval_s, 1), "summary": summary}
+    row = {"family": family, "seed": seed, "train_s": round(train_s, 1),
+           "eval_s": round(eval_s, 1), "summary": summary}
+    if args.tta > 1:
+        row["tta"] = args.tta
+    return row
 
 
 def main():
@@ -135,6 +145,13 @@ def main():
     ap.add_argument("--n_points", type=int, default=256)
     ap.add_argument("--n_windows", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--tta", type=int, default=1,
+                    help="dihedral-ensemble views at TEST time (infer --tta "
+                         "semantics); combine with --eval_only to re-score "
+                         "checkpoints from an earlier sweep's --scratch")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; evaluate the existing best "
+                         "checkpoints in --scratch (errors if one is missing)")
     ap.add_argument("--scratch", default="/tmp/qsweep")
     args = ap.parse_args()
 

@@ -465,6 +465,10 @@ def cmd_test(args) -> int:
         tiler=getattr(args, "tiler", "balanced"),
         transfer_dtype=getattr(args, "transfer_dtype", None),
     )
+    if not 1 <= int(getattr(args, "tta", 1)) <= 8:
+        print(f"--tta must be in 1..8 (dihedral period), got {args.tta}",
+              file=sys.stderr)
+        return 1
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
@@ -523,32 +527,26 @@ def cmd_infer(args) -> int:
     # chunked predict_many: same-bucket clouds batch into single device calls
     # and bucket fetches pipeline (infer/tiled.py), instead of one dispatch
     # round-trip per cloud
-    tta = max(getattr(args, "tta", 1), 1)
+    tta = int(getattr(args, "tta", 1))
+    if not 1 <= tta <= 8:
+        print(f"--tta must be in 1..8 (dihedral period), got {tta}", file=sys.stderr)
+        return 1
     chunk_size = max(1, 16 // tta)
     for start in range(0, len(ds), chunk_size):
         chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]
         feats = [normalize_xy_neg_one(select_model_features(s["points"])) for s in chunk]
         if tta > 1:
-            # dihedral ensemble (see evaluate_dataset): all T copies of a
-            # cloud share one bucket, so the ensemble batches into one call
-            from ampnet_tpu.infer.tiled import dihedral_xy
+            from ampnet_tpu.infer.tiled import tta_ensemble
 
-            expanded = [dihedral_xy(f, t) for f in feats for t in range(tta)]
-            raw = inferencer.predict_many(
-                expanded,
-                seeds=[start * tta + j for j in range(len(expanded))],
-                return_probs=True,
-            )
-            outs = []
-            for ci in range(len(chunk)):
-                mean = np.mean(
-                    [np.asarray(raw[ci * tta + t][1], np.float32)
-                     for t in range(tta)],
-                    axis=0,
+            outs = [
+                (preds, mean.astype(np.float16)) if save_probs else preds
+                for preds, mean in tta_ensemble(
+                    lambda cs, sd: inferencer.predict_many(
+                        cs, seeds=sd, return_probs=True
+                    ),
+                    feats, tta, seeds=list(range(start, start + len(chunk))),
                 )
-                preds = np.argmax(mean, -1).astype(np.int32)
-                outs.append((preds, mean.astype(np.float16)) if save_probs
-                            else preds)
+            ]
         else:
             outs = inferencer.predict_many(
                 feats, seeds=list(range(start, start + len(chunk))), return_probs=save_probs

@@ -222,10 +222,17 @@ class PredictionService:
         self._worker.join(timeout=5)
         self._fetcher.join(timeout=5)
 
-    def predict(self, clouds: List[np.ndarray], probs: bool = False):
+    def predict(self, clouds: List[np.ndarray], probs: bool = False,
+                logical: Optional[tuple] = None):
         """Blocking predict for one request's clouds; thread-safe. Error
         accounting lives in the HTTP handler (the single recorder) so a failed
-        prediction is counted exactly once."""
+        prediction is counted exactly once.
+
+        ``logical=(n_clouds, n_points)`` overrides the request-level stats
+        counts: a TTA handler predicts T× expanded clouds but the client sent
+        (and receives) only the originals, so /v1/stats throughput must not be
+        inflated by the ensemble factor (batch-level stats still count the
+        expanded device work — that is real)."""
         if self._stop.is_set():
             raise RuntimeError("PredictionService is closed")
         t0 = time.time()
@@ -242,8 +249,10 @@ class PredictionService:
         # cold is decided by the worker at dispatch time from the
         # inferencer's own compiled-shape ledger — it covers probs variants,
         # new micro-batch sizes, and mega-cloud split halves, not just (k, cap)
-        self.stats.record(len(clouds), sum(c.shape[0] for c in clouds),
-                          time.time() - t0, cold=job.cold)
+        n_clouds, n_points = logical or (
+            len(clouds), sum(c.shape[0] for c in clouds)
+        )
+        self.stats.record(n_clouds, n_points, time.time() - t0, cold=job.cold)
         return job.result
 
     # -- worker --------------------------------------------------------------
@@ -466,14 +475,14 @@ def make_handler(service: PredictionService, model_name: str):
             if tta > 1:
                 # same dihedral ensemble as the JSON path; all T copies ride
                 # one micro-batch through the untouched batching service
-                from ampnet_tpu.infer.tiled import dihedral_xy
+                from ampnet_tpu.infer.tiled import tta_ensemble
 
-                raw_out = service.predict(
-                    [dihedral_xy(pts, t) for t in range(tta)], probs=True
+                ((labels, _),) = tta_ensemble(
+                    lambda cs, _sd: service.predict(
+                        cs, probs=True, logical=(1, pts.shape[0])
+                    ),
+                    [pts], tta,
                 )
-                mean = np.mean([np.asarray(pr, np.float32) for _, pr in raw_out],
-                               axis=0)
-                labels = np.argmax(mean, -1).astype(np.int32)
             else:
                 (labels,) = service.predict([pts], probs=False)
             t0 = time.time()
@@ -505,25 +514,22 @@ def make_handler(service: PredictionService, model_name: str):
                 self._send_json(400, {"error": "tta must be 1..8"})
                 return
             if tta > 1:
-                # dihedral ensemble (infer/tiled.py::predict_tta semantics);
-                # expansion happens here so the batching service stays
-                # untouched — all T copies ride one micro-batch. The
-                # service's fixed per-cloud seed keeps responses
-                # deterministic; copies still tile differently because
-                # rotation moves the k-means features themselves.
-                from ampnet_tpu.infer.tiled import dihedral_xy
+                # dihedral ensemble (infer/tiled.py::tta_ensemble); expansion
+                # happens here so the batching service stays untouched — all
+                # T copies ride one micro-batch. The service's fixed per-cloud
+                # seed keeps responses deterministic; copies still tile
+                # differently because rotation moves the k-means features.
+                from ampnet_tpu.infer.tiled import tta_ensemble
 
-                expanded = [dihedral_xy(c, t) for c in clouds for t in range(tta)]
-                raw = service.predict(expanded, probs=True)
-                outs = []
-                for ci in range(len(clouds)):
-                    mean = np.mean(
-                        [np.asarray(raw[ci * tta + t][1], np.float32)
-                         for t in range(tta)],
-                        axis=0,
-                    )
-                    preds = np.argmax(mean, -1).astype(np.int32)
-                    outs.append((preds, mean) if probs else preds)
+                ens = tta_ensemble(
+                    lambda cs, _sd: service.predict(
+                        cs, probs=True,
+                        logical=(len(clouds),
+                                 sum(c.shape[0] for c in clouds)),
+                    ),
+                    clouds, tta,
+                )
+                outs = [(p, m) if probs else p for p, m in ens]
             else:
                 outs = service.predict(clouds, probs=probs)
             t0 = time.time()

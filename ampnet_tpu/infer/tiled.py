@@ -55,6 +55,45 @@ def dihedral_xy(points9: np.ndarray, t: int) -> np.ndarray:
     return out
 
 
+def tta_ensemble(predict_probs, clouds, transforms: int, seeds=None) -> list:
+    """Shared dihedral-ensemble driver behind every TTA surface (``predict_tta``,
+    ``evaluate_dataset``, ``ampnet infer --tta``, serving JSON ``"tta"`` /
+    binary ``X-TTA``): expand each cloud into its first T dihedral views, run
+    ONE batched prediction over the expanded list (all views of a cloud share
+    its (k, cap) bucket, so the ensemble batches into single device calls),
+    regroup, average class probabilities in float32, argmax the mean.
+
+    ``predict_probs(clouds, seeds) -> [(preds, probs), ...]`` — a
+    ``predict_many(..., return_probs=True)``-shaped callable; serving passes a
+    closure over its micro-batching service (which ignores the seeds —
+    responses must not depend on co-batched traffic).
+
+    T is capped at 8 because ``dihedral_xy`` has period 8: T > 8 would average
+    duplicate views and silently bias the mean toward them.
+
+    Returns ``[(preds int32, mean_probs float32), ...]`` in input order.
+    """
+    T = int(transforms)
+    if not 1 <= T <= 8:
+        raise ValueError(
+            f"tta transforms must be in 1..8 (dihedral_xy has period 8; more "
+            f"would double-count views), got {T}"
+        )
+    if seeds is None:
+        seeds = list(range(len(clouds)))
+    expanded = [dihedral_xy(c, t) for c in clouds for t in range(T)]
+    eseeds = [s * T + t for s in seeds for t in range(T)]
+    outs = predict_probs(expanded, eseeds)
+    results = []
+    for ci in range(len(clouds)):
+        mean = np.mean(
+            [np.asarray(outs[ci * T + t][1], np.float32) for t in range(T)],
+            axis=0,
+        )
+        results.append((np.argmax(mean, axis=-1).astype(np.int32), mean))
+    return results
+
+
 def _replicate_variables(variables, mesh):
     from ampnet_tpu.parallel.mesh import replicate_sharding
 
@@ -268,12 +307,10 @@ class TiledInferencer:
         T = int(transforms)
         if T <= 1:
             return self.predict(points9, seed, return_probs)
-        copies = [dihedral_xy(points9, t) for t in range(T)]
-        outs = self.predict_many(
-            copies, seeds=[seed + t for t in range(T)], return_probs=True
+        ((preds, mean),) = tta_ensemble(
+            lambda cs, sd: self.predict_many(cs, seeds=sd, return_probs=True),
+            [points9], T, seeds=[seed],
         )
-        mean = np.mean([np.asarray(p, np.float32) for _, p in outs], axis=0)
-        preds = np.argmax(mean, axis=-1).astype(np.int32)
         if return_probs:
             return preds, mean.astype(np.float16)
         return preds
@@ -412,7 +449,9 @@ def evaluate_dataset(
     per cloud (``TiledInferencer.predict_tta`` semantics); the chunk shrinks so
     chunk × tta stays within the device-batch budget."""
     num_classes = inferencer.cfg.model.num_classes
-    tta = max(int(tta), 1)
+    tta = int(tta)
+    if not 1 <= tta <= 8:
+        raise ValueError(f"tta must be in 1..8 (dihedral period), got {tta}")
     if tta > 1:
         chunk_size = max(1, chunk_size // tta)
     rows: List[Dict] = []
@@ -424,26 +463,15 @@ def evaluate_dataset(
     for start in range(0, len(dataset), chunk_size):
         chunk = [dataset[j] for j in range(start, min(start + chunk_size, len(dataset)))]
         if tta > 1:
-            expanded = [
-                dihedral_xy(s["points"], t) for s in chunk for t in range(tta)
-            ]
-            outs = inferencer.predict_many(
-                expanded,
-                seeds=[start * tta + j for j in range(len(expanded))],
-                return_probs=True,
-            )
             chunk_preds = [
-                np.argmax(
-                    np.mean(
-                        [np.asarray(outs[ci * tta + t][1], np.float32)
-                         for t in range(tta)],
-                        axis=0,
+                p for p, _ in tta_ensemble(
+                    lambda cs, sd: inferencer.predict_many(
+                        cs, seeds=sd, return_probs=True
                     ),
-                    axis=-1,
-                ).astype(np.int32)
-                for ci in range(len(chunk))
+                    [s["points"] for s in chunk], tta,
+                    seeds=list(range(start, start + len(chunk))),
+                )
             ]
-            del outs, expanded
         else:
             chunk_preds = inferencer.predict_many(
                 [s["points"] for s in chunk], seeds=list(range(start, start + len(chunk)))

@@ -182,6 +182,15 @@ def make_step_fns(
                 state.params, state.batch_stats, aug, k_drop, data_loss, 1.0,
             )
             cm = confusion_matrix(jnp.argmax(logits, axis=-1), aug["labels"], num_classes)
+            # under focal training the objective's data term is NOT the CE;
+            # log true CE separately so "ce_loss" means the same quantity
+            # across runs regardless of the objective
+            true_ce = (
+                weighted_cross_entropy(
+                    logits, aug["labels"], class_weights, cfg.train.ignore_index
+                )
+                if focal_gamma > 0 else ce
+            )
         else:
             b = aug["points"].shape[0]
             if b % grad_accum:
@@ -208,36 +217,46 @@ def make_step_fns(
                 return num / w_total  # this micro's share of the batch data loss
 
             def body(carry, xs):
-                bstats, gacc, lacc, ceacc, regacc, cmacc = carry
+                bstats, gacc, lacc, ceacc, tceacc, regacc, cmacc = carry
                 mb, k_i = xs
                 (l, (ce_i, reg_i, logits, new_stats)), g = loss_and_grads(
                     state.params, bstats, mb, k_i, micro_ce, 1.0 / k
                 )
+                # true-CE share of the batch (focal runs log both; identical
+                # to ce_i at gamma=0, where XLA CSEs the duplicate expression)
+                tce_i = weighted_cross_entropy_parts(
+                    logits, mb["labels"], class_weights, cfg.train.ignore_index
+                )[0] / w_total
                 cm_i = confusion_matrix(
                     jnp.argmax(logits, axis=-1), mb["labels"], num_classes
                 )
                 gacc = jax.tree.map(jnp.add, gacc, g)
-                return (new_stats, gacc, lacc + l, ceacc + ce_i, regacc + reg_i,
-                        cmacc + cm_i), None
+                return (new_stats, gacc, lacc + l, ceacc + ce_i, tceacc + tce_i,
+                        regacc + reg_i, cmacc + cm_i), None
 
             zero_g = jax.tree.map(jnp.zeros_like, state.params)
             z = jnp.float32(0.0)
-            init = (state.batch_stats, zero_g, z, z, z,
+            init = (state.batch_stats, zero_g, z, z, z, z,
                     jnp.zeros((num_classes, num_classes), jnp.float32))
-            (new_stats, grads, lsum, cesum, regsum, cm), _ = jax.lax.scan(
+            (new_stats, grads, lsum, cesum, tcesum, regsum, cm), _ = jax.lax.scan(
                 body, init, (micro, drop_keys)
             )
             # micro losses are already globally normalized (CE) / K-scaled
             # (reg), so the accumulated grads and sums need no rescaling
             loss, ce, reg = lsum, cesum, regsum / k
+            true_ce = tcesum if focal_gamma > 0 else ce
 
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         # global gradient norm: observability + the only step output through
         # which gradient mis-scaling is testable (Adam updates are invariant
         # to gradient scale at step 1)
         gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
-        metrics = {"loss": loss, "ce_loss": ce, "reg_loss": reg, "confusion": cm,
-                   "grad_norm": gn}
+        metrics = {"loss": loss, "ce_loss": true_ce, "reg_loss": reg,
+                   "confusion": cm, "grad_norm": gn}
+        if focal_gamma > 0:
+            # the objective's data term; "ce_loss" above stays true CE so the
+            # scalar is comparable across runs with different objectives
+            metrics["focal_loss"] = ce
         return new_state, metrics
 
     @jax.jit
@@ -246,8 +265,16 @@ def make_step_fns(
         ce = data_loss(logits, batch["labels"])
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, batch["labels"], num_classes)
-        # validation loss is the data term only (train_pointnet-attention.py:471-473)
-        return {"loss": ce, "ce_loss": ce, "confusion": cm}, preds
+        # validation loss is the data term only (train_pointnet-attention.py:471-473);
+        # under focal it follows the training objective (best-val consistency)
+        # while "ce_loss" stays the true CE
+        metrics = {"loss": ce, "ce_loss": ce, "confusion": cm}
+        if focal_gamma > 0:
+            metrics["ce_loss"] = weighted_cross_entropy(
+                logits, batch["labels"], class_weights, cfg.train.ignore_index
+            )
+            metrics["focal_loss"] = ce
+        return metrics, preds
 
     return train_step, eval_step
 

@@ -15,6 +15,7 @@ Differences by design (all TPU-motivated, results-equivalent):
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Dict, List, Optional
 
@@ -179,7 +180,7 @@ class Trainer:
         confusions = [np.asarray(c) for c in ms["confusion"]]
         losses = {
             k: [float(x) for x in ms[k]]
-            for k in ("loss", "ce_loss", "reg_loss")
+            for k in ("loss", "ce_loss", "focal_loss", "reg_loss")
             if k in ms
         }
         return _epoch_metrics(confusions, losses)
@@ -193,7 +194,8 @@ class Trainer:
         # Per-batch metrics stay ON DEVICE until the epoch ends: converting them
         # per step would force a host sync between every dispatch (costly over a
         # remote-relay transport); deferring keeps the step stream fully async.
-        confusions, losses = [], {"loss": [], "ce_loss": [], "reg_loss": []}
+        confusions, losses = [], {"loss": [], "ce_loss": [], "focal_loss": [],
+                                  "reg_loss": []}
         for batch in data:
             dev = to_device_batch(batch, self.mesh)
             if train:
@@ -216,10 +218,19 @@ class Trainer:
         t_start = time.time()
         try:
             self._fit_loop(epochs, history)
-        finally:
-            # land any in-flight async checkpoint before handing control back
-            # (callers immediately restore the best checkpoint to evaluate)
-            self.ckpt.wait()
+        except BaseException:
+            # still land any in-flight async checkpoint, but a failed WRITE
+            # must not mask the real training failure (the user would debug a
+            # checkpoint-IO error while training actually died elsewhere)
+            try:
+                self.ckpt.wait()
+            except Exception as e:
+                print(f"async checkpoint also failed during teardown: {e}",
+                      file=sys.stderr)
+            raise
+        # land any in-flight async checkpoint before handing control back
+        # (callers immediately restore the best checkpoint to evaluate)
+        self.ckpt.wait()
         self.log_train.scalar("total_hours", (time.time() - t_start) / 3600, self.epoch)
         return history
 

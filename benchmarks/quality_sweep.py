@@ -127,7 +127,10 @@ def run_one(family, seed, args):
         return {"family": family, "seed": seed, "error": f"test rc={rc}"}
     txt = buf.getvalue()
     summary = json.loads(txt[txt.find("{"):])
-    row = {"family": family, "seed": seed, "train_s": round(train_s, 1),
+    # eval_only rows did no training — None, not a ~0 s "measured" time
+    row = {"family": family, "seed": seed,
+           "train_s": None if getattr(args, "eval_only", False)
+           else round(train_s, 1),
            "eval_s": round(eval_s, 1), "summary": summary}
     if args.tta > 1:
         row["tta"] = args.tta

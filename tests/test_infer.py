@@ -335,3 +335,42 @@ def test_evaluate_dataset_tta(inferencer):
     out = evaluate_dataset(inferencer, ds, tta=2)
     assert out["summary"]["n_clouds"] == 2
     assert 0.0 <= out["summary"]["oa"] <= 1.0
+
+
+def test_tta_ensemble_rejects_out_of_range(inferencer):
+    """dihedral_xy has period 8: T > 8 would silently average duplicate views
+    (review finding), T < 1 is meaningless — both are loud errors everywhere."""
+    from ampnet_tpu.infer.tiled import tta_ensemble
+
+    rng = np.random.default_rng(14)
+    cloud, _ = make_cloud(rng, 300)
+    pm = lambda cs, sd: inferencer.predict_many(cs, seeds=sd, return_probs=True)
+    for bad in (0, 9, -3, 12):
+        with pytest.raises(ValueError, match="1..8"):
+            tta_ensemble(pm, [cloud], bad)
+    ds = CloudListDataset([(cloud, np.zeros(300, np.int32))])
+    with pytest.raises(ValueError, match="1..8"):
+        evaluate_dataset(inferencer, ds, tta=9)
+
+
+def test_tta_ensemble_matches_manual_mean(inferencer):
+    """The shared helper's expand/regroup indexing equals the hand-rolled
+    ensemble it replaced at every former call site."""
+    from ampnet_tpu.infer.tiled import dihedral_xy, tta_ensemble
+
+    rng = np.random.default_rng(15)
+    clouds = [make_cloud(rng, n)[0] for n in (300, 450)]
+    T, seeds = 3, [5, 6]
+    got = tta_ensemble(
+        lambda cs, sd: inferencer.predict_many(cs, seeds=sd, return_probs=True),
+        clouds, T, seeds=seeds,
+    )
+    expanded = [dihedral_xy(c, t) for c in clouds for t in range(T)]
+    eseeds = [s * T + t for s in seeds for t in range(T)]
+    raw = inferencer.predict_many(expanded, seeds=eseeds, return_probs=True)
+    for ci, (preds, mean) in enumerate(got):
+        want = np.mean(
+            [np.asarray(raw[ci * T + t][1], np.float32) for t in range(T)], axis=0
+        )
+        np.testing.assert_allclose(mean, want, atol=1e-6)
+        np.testing.assert_array_equal(preds, np.argmax(want, -1))

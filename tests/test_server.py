@@ -422,3 +422,30 @@ def test_binary_tta_ensemble(server):
         _post(server, "/v1/predict", pts.tobytes(),
               {"Content-Type": "application/octet-stream", "X-TTA": "99"})
     assert e.value.code == 400
+
+
+def test_tta_stats_count_logical_clouds(server):
+    """A TTA request predicts T× expanded clouds on the device, but /v1/stats
+    request accounting must count what the CLIENT sent — 2 clouds, not 8
+    (review finding: ensemble-inflated throughput)."""
+    with urllib.request.urlopen(_url(server, "/v1/stats"), timeout=30) as r:
+        before = json.loads(r.read())
+    rng = np.random.default_rng(21)
+    clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (40, 55)]
+    payload = json.dumps(
+        {"clouds": [c.tolist() for c in clouds], "tta": 4}
+    ).encode()
+    status, _, _ = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200
+    with urllib.request.urlopen(_url(server, "/v1/stats"), timeout=30) as r:
+        after = json.loads(r.read())
+    assert after["clouds"] - before["clouds"] == 2
+    assert after["points"] - before["points"] == 95
+    # the device-side breakdown DOES see the expanded ensemble work (the
+    # 8-cloud micro-batch may be a first-contact shape -> counted cold)
+    total_b = lambda s: (s["breakdown"]["device_batches"]
+                         + s["breakdown"]["cold_batches"])
+    assert after["breakdown"]["batch_points_mean"] > 0
+    assert total_b(after) > total_b(before)

@@ -281,9 +281,18 @@ def test_focal_step_runs_and_differs_from_ce(cfg, setup):
     assert np.isfinite(float(m_f["loss"]))
     assert float(m_f["loss"]) < float(m_ce["loss"])
 
-    # eval loss follows the training objective
+    # "ce_loss" stays TRUE weighted CE under focal (same params/batch as the
+    # CE step -> identical logits -> identical CE), so the scalar is
+    # comparable across runs; the objective's data term logs as "focal_loss"
+    assert float(m_f["ce_loss"]) == pytest.approx(float(m_ce["ce_loss"]), rel=1e-5)
+    assert float(m_f["focal_loss"]) < float(m_f["ce_loss"])
+    assert "focal_loss" not in m_ce
+
+    # eval loss follows the training objective; eval ce_loss stays true CE
     em, _ = eval_f(state, batch)
-    assert float(em["loss"]) == pytest.approx(float(m_f["ce_loss"]), rel=1e-4)
+    assert float(em["loss"]) == pytest.approx(float(m_f["focal_loss"]), rel=1e-4)
+    assert float(em["ce_loss"]) == pytest.approx(float(m_f["ce_loss"]), rel=1e-4)
+    assert float(em["focal_loss"]) == pytest.approx(float(em["loss"]), rel=1e-6)
 
 
 def test_grad_accum_focal_gradient_exact_vs_full_batch(cfg, setup):
@@ -316,3 +325,8 @@ def test_grad_accum_focal_gradient_exact_vs_full_batch(cfg, setup):
     assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-5)
     assert float(m_acc["grad_norm"]) == pytest.approx(
         float(m_full["grad_norm"]), rel=1e-4)
+    # the accumulated true-CE and focal scalars match the full-batch path too
+    assert float(m_acc["ce_loss"]) == pytest.approx(
+        float(m_full["ce_loss"]), rel=1e-5)
+    assert float(m_acc["focal_loss"]) == pytest.approx(
+        float(m_full["focal_loss"]), rel=1e-5)

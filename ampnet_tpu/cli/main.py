@@ -410,11 +410,46 @@ def _restore_model(args, task: str):
     return cfg, model, state, ckpt_name
 
 
+def _restore_variables(args, task: str):
+    """``_restore_model`` over a comma-separated ``--model_checkpoint``:
+    returns ``(cfg, model, variables_or_list, name)``. With M > 1 paths the
+    list feeds TiledInferencer's checkpoint ensemble (stacked variables,
+    vmapped forward, on-device probability averaging — infer/tiled.py); all
+    members must share the model geometry. No reference counterpart (its
+    tester loads exactly one .pth, test_pointnet_att_segmen.py:87-94)."""
+    import copy
+
+    paths = [p for p in args.model_checkpoint.split(",") if p]
+    out = []
+    for p in paths:
+        a = copy.copy(args)
+        a.model_checkpoint = p
+        r = _restore_model(a, task)
+        if r is None:
+            return None
+        out.append(r)
+    cfg, model, state, name = out[0]
+    if len(out) == 1:
+        return cfg, model, {"params": state.params,
+                            "batch_stats": state.batch_stats}, name
+    for c, _, _, n in out[1:]:
+        if c.model != cfg.model or c.data.n_points != cfg.data.n_points:
+            print(f"ensemble members disagree on model geometry: {name} vs {n} "
+                  f"({cfg.model} vs {c.model})", file=sys.stderr)
+            return None
+    var_list = [{"params": s.params, "batch_stats": s.batch_stats}
+                for _, _, s, _ in out]
+    return cfg, model, var_list, "+".join(n for _, _, _, n in out)
+
+
 def cmd_test(args) -> int:
-    restored = _restore_model(args, args.task)
+    if "," in args.model_checkpoint and args.task == "classification":
+        print("checkpoint ensembles support segmentation only", file=sys.stderr)
+        return 1
+    restored = _restore_variables(args, args.task)
     if restored is None:
         return 1
-    cfg, model, state, ckpt_name = restored
+    cfg, model, variables, ckpt_name = restored
     lists = _load_lists(args.path_list_files, args.task)
     files = lists["test"] or lists["val"]
 
@@ -439,6 +474,9 @@ def cmd_test(args) -> int:
             batcher = SingleCloudBatcher(ds, 4, n_points=cfg.data.n_points,
                                          shuffle=False, drop_last=False)
         _, eval_step = make_cls_step_fns(cfg)
+        # the cls eval loop drives state.apply_fn directly — restore the full
+        # train-state (single checkpoint; the ensemble guard above holds)
+        _, _, state, _ = _restore_model(args, args.task)
         out = evaluate_classification(state, eval_step, batcher,
                                       out_dir=args.out_path, model_name=ckpt_name)
         print(json.dumps(out, indent=2))
@@ -448,7 +486,6 @@ def cmd_test(args) -> int:
     from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_dataset
 
     ds = EvalCloudDataset(args.dataset_path, files)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     backend = getattr(args, "backend", "xla")
     if backend != "xla" and cfg.model.context != "attention":
         print("non-xla backends (folded/bf16/fused/int8) support the attention segmenter only; use --backend xla", file=sys.stderr)
@@ -485,12 +522,12 @@ def cmd_infer(args) -> int:
     from ampnet_tpu.data.schema import select_model_features, normalize_xy_neg_one
     from ampnet_tpu.infer.tiled import TiledInferencer
 
-    restored = _restore_model(args, "segmentation")
+    restored = _restore_variables(args, "segmentation")
     if restored is None:
         return 1
-    cfg, model, state, ckpt_name = restored
+    cfg, model, variables, ckpt_name = restored
     inferencer = TiledInferencer(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        model, variables, cfg,
         # whole-cloud evaluation for non-windowed archs (see cmd_test)
         max_clusters=None if cfg.model.context in ("attention", "gru") else 1,
         backend=getattr(args, "backend", "xla"),
@@ -579,11 +616,13 @@ def cmd_serve(args) -> int:
     from ampnet_tpu.infer.server import InferenceServer
 
     task = getattr(args, "task", "segmentation")
-    restored = _restore_model(args, task)
+    if "," in args.model_checkpoint and task == "classification":
+        print("checkpoint ensembles support segmentation only", file=sys.stderr)
+        return 1
+    restored = _restore_variables(args, task)
     if restored is None:
         return 1
-    cfg, model, state, ckpt_name = restored
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg, model, variables, ckpt_name = restored
     if task == "classification":
         # per-cloud tower classification: same daemon, CloudClassifier engine
         from ampnet_tpu.infer.classify import CloudClassifier
@@ -858,7 +897,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")
     s.add_argument("dataset_path")
-    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--model_checkpoint", required=True,
+                   help="checkpoint path; comma-separate several for an "
+                        "on-device probability-averaging ensemble")
     s.add_argument("--path_list_files", required=True)
     s.add_argument("--out_path", default="results")
     s.add_argument("--arch", default="attention")
@@ -901,7 +942,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("infer", help="label-free predictions; with LAS tiles in the "
                                      "input dir, runs whole-tile LAS→LAS classification")
     s.add_argument("dataset_path")
-    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--model_checkpoint", required=True,
+                   help="checkpoint path; comma-separate several for an "
+                        "on-device probability-averaging ensemble")
     s.add_argument("--out_path", default="predictions")
     s.add_argument("--arch", default="attention")
     s.add_argument("--window_size", type=float, default=100.0)

@@ -115,6 +115,22 @@ class TiledInferencer:
         mesh=None,
     ):
         self.model = model
+        # checkpoint ensemble: a LIST of variable trees stacks leaf-wise and
+        # the bucket program vmaps the forward over the model axis, averaging
+        # softmax probabilities ON DEVICE — M independently-trained seeds run
+        # as one batched program (same idle-MXU trade as predict_tta; the two
+        # compose). No reference counterpart (its tester loads one .pth).
+        if isinstance(variables, (list, tuple)):
+            self.ensemble = len(variables)
+            if self.ensemble == 1:
+                variables = variables[0]
+            else:
+                variables = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *variables,
+                )
+        else:
+            self.ensemble = 1
         self.variables = variables
         self.cfg = cfg
         self.n_points = n_points or cfg.data.n_points
@@ -220,15 +236,27 @@ class TiledInferencer:
             gathered = jnp.take_along_axis(points, order[..., None], axis=1)
             windows = gathered.reshape(b, k, cap, f)
             centroids = windows[..., :2].mean(axis=2)  # [B, k, 2]
-            logits = fwd(variables, windows, centroids, None)
+            if self.ensemble > 1:
+                # checkpoint ensemble: vmap the forward over the stacked model
+                # axis and average softmax probabilities on device (the wire
+                # stays one cloud's worth regardless of M)
+                elog = jax.vmap(
+                    lambda v: fwd(v, windows, centroids, None)
+                )(variables)
+                ep = jax.nn.softmax(elog, axis=-1).mean(axis=0)
+                preds = jnp.argmax(ep, axis=-1).reshape(b, n).astype(jnp.int8)
+            else:
+                logits = fwd(variables, windows, centroids, None)
+                preds = jnp.argmax(logits, axis=-1).reshape(b, n).astype(jnp.int8)
             # int8 predictions: num_classes ≤ 127 always; quarters the
             # device→host result traffic (the transfer-bound serving path)
-            preds = jnp.argmax(logits, axis=-1).reshape(b, n).astype(jnp.int8)
             flat = jnp.zeros((b, n), preds.dtype)
             flat = jax.vmap(lambda fl, o, p: fl.at[o].set(p))(flat, order, preds)
             if not probs:
                 return flat
-            p = jax.nn.softmax(logits, axis=-1).reshape(b, n, -1).astype(jnp.float16)
+            p = (ep if self.ensemble > 1
+                 else jax.nn.softmax(logits, axis=-1))
+            p = p.reshape(b, n, -1).astype(jnp.float16)
             pflat = jnp.zeros((b, n, p.shape[-1]), p.dtype)
             pflat = jax.vmap(lambda fl, o, q: fl.at[o].set(q))(pflat, order, p)
             return flat, pflat

@@ -267,3 +267,54 @@ def test_cls_test_without_arch_uses_recorded_config(tmp_path):
                        model_checkpoint=ckpt, path_list_files=proc,
                        out_path=str(tmp_path / "res"), max_clusters=4,
                        plot=False)) == 0
+
+
+def test_restore_variables_ensemble(tmp_path):
+    """Comma-separated --model_checkpoint restores a checkpoint LIST whose
+    TiledInferencer runs as an on-device probability-averaging ensemble;
+    mismatched geometries are a clean error (no reference counterpart — its
+    tester loads exactly one .pth)."""
+    from test_trainer import MemoryDataset
+
+    from ampnet_tpu.cli.main import _restore_variables
+    from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
+    from ampnet_tpu.data.pipeline import PaddedBatcher
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.trainer import Trainer
+
+    ckpts = []
+    for seed, name in ((0, "a"), (1, "b")):
+        cfg = AMPNetConfig(model=ModelConfig(context="attention"),
+                           train=TrainConfig(batch_size=3, epochs=1, seed=seed))
+        ds = MemoryDataset(n_items=3)
+        batcher = PaddedBatcher(ds, 3, n_points=96, max_windows=4, seed=seed,
+                                prefetch=0)
+        model = build_model(cfg, "attention", "segmentation")
+        out = os.path.join(str(tmp_path), name)
+        tr = Trainer(cfg, model, batcher, batcher, out,
+                     name="attention_segmentation")
+        tr.fit(epochs=1)
+        ckpts.append(os.path.join(out, "checkpoints",
+                                  "attention_segmentation_best"))
+
+    restored = _restore_variables(
+        ns(model_checkpoint=",".join(ckpts), arch="attention",
+           task="segmentation"), "segmentation")
+    assert restored is not None
+    cfg, model, variables, name = restored
+    assert isinstance(variables, list) and len(variables) == 2
+    assert name.count("+") == 1
+
+    from ampnet_tpu.infer.tiled import TiledInferencer
+
+    inf = TiledInferencer(model, variables, cfg)
+    assert inf.ensemble == 2
+    rng = np.random.default_rng(3)
+    cloud = rng.normal(size=(300, 9)).astype(np.float32)
+    preds, probs = inf.predict(cloud, return_probs=True)
+    assert preds.shape == (300,) and probs.shape[0] == 300
+    # ensemble mean is the mean of the two members' probabilities
+    singles = [TiledInferencer(model, v, cfg) for v in variables]
+    want = np.mean([np.asarray(s.predict(cloud, return_probs=True)[1],
+                               np.float32) for s in singles], axis=0)
+    np.testing.assert_allclose(np.asarray(probs, np.float32), want, atol=2e-3)

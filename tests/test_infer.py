@@ -374,3 +374,54 @@ def test_tta_ensemble_matches_manual_mean(inferencer):
         )
         np.testing.assert_allclose(mean, want, atol=1e-6)
         np.testing.assert_array_equal(preds, np.argmax(want, -1))
+
+
+def _make_ensemble_parts():
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=N_POINTS, max_clusters_test=6),
+        model=ModelConfig(dropout=0.0),
+    )
+    model = AMPNetSegmenter(cfg.model)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1, 2, N_POINTS, 9)).astype(np.float32)
+    cent = rng.normal(size=(1, 2, 2)).astype(np.float32)
+    v1 = model.init(jax.random.PRNGKey(0), pts, cent, None)
+    v2 = model.init(jax.random.PRNGKey(7), pts, cent, None)
+    return cfg, model, v1, v2
+
+
+def test_ensemble_of_identical_checkpoints_matches_single():
+    """M copies of the same checkpoint average to the checkpoint itself —
+    the vmapped ensemble program must agree with the single-model program."""
+    cfg, model, v1, _ = _make_ensemble_parts()
+    single = TiledInferencer(model, v1, cfg)
+    ens = TiledInferencer(model, [v1, v1], cfg)
+    assert single.ensemble == 1 and ens.ensemble == 2
+    rng = np.random.default_rng(31)
+    cloud, _ = make_cloud(rng, 800)
+    p1, pr1 = single.predict(cloud, seed=5, return_probs=True)
+    p2, pr2 = ens.predict(cloud, seed=5, return_probs=True)
+    np.testing.assert_array_equal(p1, p2)
+    # fp16 wire both sides; identical members -> identical mean
+    np.testing.assert_allclose(np.asarray(pr1, np.float32),
+                               np.asarray(pr2, np.float32), atol=2e-3)
+
+
+def test_ensemble_averages_member_probabilities():
+    """The 2-member ensemble's probabilities equal the mean of the members'
+    (computed on device in float32; members' fetched fp16 probs bound atol)."""
+    cfg, model, v1, v2 = _make_ensemble_parts()
+    a = TiledInferencer(model, v1, cfg)
+    b = TiledInferencer(model, v2, cfg)
+    ens = TiledInferencer(model, [v1, v2], cfg)
+    rng = np.random.default_rng(32)
+    cloud, _ = make_cloud(rng, 700)
+    _, pra = a.predict(cloud, seed=9, return_probs=True)
+    _, prb = b.predict(cloud, seed=9, return_probs=True)
+    pe, pre = ens.predict(cloud, seed=9, return_probs=True)
+    want = (np.asarray(pra, np.float32) + np.asarray(prb, np.float32)) / 2
+    np.testing.assert_allclose(np.asarray(pre, np.float32), want, atol=2e-3)
+    # argmax of the mean (ties are vanishingly unlikely at random init)
+    np.testing.assert_array_equal(pe, np.argmax(want, -1))
+    # a singleton list unwraps to the plain single-model path
+    assert TiledInferencer(model, [v1], cfg).ensemble == 1

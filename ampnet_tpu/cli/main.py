@@ -432,13 +432,27 @@ def _restore_variables(args, task: str):
     if len(out) == 1:
         return cfg, model, {"params": state.params,
                             "batch_stats": state.batch_stats}, name
-    for c, _, _, n in out[1:]:
-        if c.model != cfg.model or c.data.n_points != cfg.data.n_points:
-            print(f"ensemble members disagree on model geometry: {name} vs {n} "
-                  f"({cfg.model} vs {c.model})", file=sys.stderr)
-            return None
+    import jax
+
     var_list = [{"params": s.params, "batch_stats": s.batch_stats}
                 for _, _, s, _ in out]
+    # members must stack leaf-wise: identical tree structure + leaf shapes is
+    # the REAL requirement (checking cfg equality would reject inference-
+    # irrelevant differences like dropout, and a round-tripped .pth member
+    # whose imported config carries defaults). n_points must also agree —
+    # it sets the tiling protocol, not the tree.
+    def sig(v):
+        return jax.tree.structure(v), [jnp_shape(l) for l in jax.tree.leaves(v)]
+
+    def jnp_shape(leaf):
+        return tuple(getattr(leaf, "shape", ()))
+
+    ref = sig(var_list[0])
+    for (c, _, _, n), v in zip(out[1:], var_list[1:]):
+        if sig(v) != ref or c.data.n_points != cfg.data.n_points:
+            print(f"ensemble members disagree on model geometry: {name} vs {n} "
+                  f"(variable trees or n_points differ)", file=sys.stderr)
+            return None
     return cfg, model, var_list, "+".join(n for _, _, _, n in out)
 
 

@@ -318,3 +318,35 @@ def test_restore_variables_ensemble(tmp_path):
     want = np.mean([np.asarray(s.predict(cloud, return_probs=True)[1],
                                np.float32) for s in singles], axis=0)
     np.testing.assert_allclose(np.asarray(probs, np.float32), want, atol=2e-3)
+
+
+def test_restore_variables_rejects_mismatched_geometry(tmp_path, capsys):
+    """A gru member cannot stack with an attention member (different variable
+    trees) — clean error, not an orbax/stack traceback."""
+    from test_trainer import MemoryDataset
+
+    from ampnet_tpu.cli.main import _restore_variables
+    from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
+    from ampnet_tpu.data.pipeline import PaddedBatcher
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.trainer import Trainer
+
+    ckpts = []
+    for arch in ("attention", "gru"):
+        cfg = AMPNetConfig(model=ModelConfig(context=arch),
+                           train=TrainConfig(batch_size=3, epochs=1))
+        ds = MemoryDataset(n_items=3)
+        batcher = PaddedBatcher(ds, 3, n_points=96, max_windows=4, prefetch=0)
+        model = build_model(cfg, arch, "segmentation")
+        out = os.path.join(str(tmp_path), arch)
+        tr = Trainer(cfg, model, batcher, batcher, out,
+                     name=f"{arch}_segmentation")
+        tr.fit(epochs=1)
+        ckpts.append(os.path.join(out, "checkpoints",
+                                  f"{arch}_segmentation_best"))
+
+    restored = _restore_variables(
+        ns(model_checkpoint=",".join(ckpts), arch="attention",
+           task="segmentation"), "segmentation")
+    assert restored is None
+    assert "disagree on model geometry" in capsys.readouterr().err

@@ -412,12 +412,20 @@ def _restore_model(args, task: str):
 
 def _restore_variables(args, task: str):
     """``_restore_model`` over a comma-separated ``--model_checkpoint``:
-    returns ``(cfg, model, variables_or_list, name)``. With M > 1 paths the
-    list feeds TiledInferencer's checkpoint ensemble (stacked variables,
-    vmapped forward, on-device probability averaging — infer/tiled.py); all
-    members must share the model geometry. No reference counterpart (its
-    tester loads exactly one .pth, test_pointnet_att_segmen.py:87-94)."""
+    returns ``(groups, name)`` where ``groups`` is a list of
+    ``(cfg, model, variables_or_list)``. Members are grouped by variable-tree
+    SIGNATURE (tree structure + leaf shapes + n_points — the real stacking
+    requirement; cfg equality would reject inference-irrelevant differences
+    like dropout, and a round-tripped ``.pth`` member whose imported config
+    carries defaults). Same-signature members become ONE group whose variable
+    list feeds TiledInferencer's stacked on-device ensemble; multiple groups
+    feed a cross-family ``EnsembleInferencer`` (host-side probability
+    averaging over e.g. attention + GRU members with different window
+    geometry). No reference counterpart (its tester loads exactly one
+    .pth, test_pointnet_att_segmen.py:87-94)."""
     import copy
+
+    import jax
 
     paths = [p for p in args.model_checkpoint.split(",") if p]
     out = []
@@ -428,32 +436,55 @@ def _restore_variables(args, task: str):
         if r is None:
             return None
         out.append(r)
-    cfg, model, state, name = out[0]
-    if len(out) == 1:
-        return cfg, model, {"params": state.params,
-                            "batch_stats": state.batch_stats}, name
-    import jax
 
-    var_list = [{"params": s.params, "batch_stats": s.batch_stats}
-                for _, _, s, _ in out]
-    # members must stack leaf-wise: identical tree structure + leaf shapes is
-    # the REAL requirement (checking cfg equality would reject inference-
-    # irrelevant differences like dropout, and a round-tripped .pth member
-    # whose imported config carries defaults). n_points must also agree —
-    # it sets the tiling protocol, not the tree.
-    def sig(v):
-        return jax.tree.structure(v), [jnp_shape(l) for l in jax.tree.leaves(v)]
+    def sig(v, c):
+        shapes = tuple(tuple(getattr(l, "shape", ())) for l in jax.tree.leaves(v))
+        return (jax.tree.structure(v), shapes, c.data.n_points)
 
-    def jnp_shape(leaf):
-        return tuple(getattr(leaf, "shape", ()))
-
-    ref = sig(var_list[0])
-    for (c, _, _, n), v in zip(out[1:], var_list[1:]):
-        if sig(v) != ref or c.data.n_points != cfg.data.n_points:
-            print(f"ensemble members disagree on model geometry: {name} vs {n} "
-                  f"(variable trees or n_points differ)", file=sys.stderr)
+    groups = []  # [signature, cfg, model, [variables, ...]]
+    for cfg, model, state, _ in out:
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        s = sig(v, cfg)
+        for g in groups:
+            if g[0] == s:
+                g[3].append(v)
+                break
+        else:
+            groups.append([s, cfg, model, [v]])
+    if len(groups) > 1:
+        ncs = {c.model.num_classes for _, c, _, _ in groups}
+        if len(ncs) != 1:
+            print(f"ensemble members disagree on num_classes: {sorted(ncs)}",
+                  file=sys.stderr)
             return None
-    return cfg, model, var_list, "+".join(n for _, _, _, n in out)
+    name = "+".join(n for _, _, _, n in out)
+    return ([(c, m, vs if len(vs) > 1 else vs[0]) for _, c, m, vs in groups],
+            name)
+
+
+def _make_seg_inferencer(groups, backend="xla", max_clusters_windowed=None,
+                         **kw):
+    """One TiledInferencer per structural group (stacked variables when the
+    group has several members); multiple groups wrap in EnsembleInferencer —
+    the cross-family probability-averaging ensemble. Windowed archs
+    (attention/gru) tile with ``max_clusters_windowed``; baseline/classic/
+    pointnet2 groups evaluate the WHOLE cloud (the reference baseline tester
+    feeds the full variable-N cloud batch-1, test_segmentation.py — a single
+    capacity-ladder bucket reproduces that under static shapes: k=1,
+    replicate-padding, duplicates dropped on output)."""
+    from ampnet_tpu.infer.tiled import EnsembleInferencer, TiledInferencer
+
+    members = [
+        TiledInferencer(
+            model, variables, cfg,
+            max_clusters=(max_clusters_windowed
+                          if cfg.model.context in ("attention", "gru") else 1),
+            backend=backend,
+            **kw,
+        )
+        for cfg, model, variables in groups
+    ]
+    return members[0] if len(members) == 1 else EnsembleInferencer(members)
 
 
 def cmd_test(args) -> int:
@@ -463,7 +494,8 @@ def cmd_test(args) -> int:
     restored = _restore_variables(args, args.task)
     if restored is None:
         return 1
-    cfg, model, variables, ckpt_name = restored
+    groups, ckpt_name = restored
+    cfg = groups[0][0]
     lists = _load_lists(args.path_list_files, args.task)
     files = lists["test"] or lists["val"]
 
@@ -497,22 +529,16 @@ def cmd_test(args) -> int:
         return 0
 
     from ampnet_tpu.data.datasets import EvalCloudDataset
-    from ampnet_tpu.infer.tiled import TiledInferencer, evaluate_dataset
+    from ampnet_tpu.infer.tiled import evaluate_dataset
 
     ds = EvalCloudDataset(args.dataset_path, files)
     backend = getattr(args, "backend", "xla")
-    if backend != "xla" and cfg.model.context != "attention":
+    if backend != "xla" and any(c.model.context != "attention"
+                                for c, _, _ in groups):
         print("non-xla backends (folded/bf16/fused/int8) support the attention segmenter only; use --backend xla", file=sys.stderr)
         return 1
-    # windowed models tile; baseline/classic/pointnet2 evaluate the WHOLE cloud
-    # (the reference baseline tester feeds the full variable-N cloud batch-1,
-    # test_segmentation.py — a single capacity-ladder bucket reproduces that
-    # under static shapes: k=1, replicate-padding, duplicates dropped on output)
-    max_clusters = (
-        args.max_clusters if cfg.model.context in ("attention", "gru") else 1
-    )
-    inferencer = TiledInferencer(
-        model, variables, cfg, max_clusters=max_clusters, backend=backend,
+    inferencer = _make_seg_inferencer(
+        groups, backend=backend, max_clusters_windowed=args.max_clusters,
         tiler=getattr(args, "tiler", "balanced"),
         transfer_dtype=getattr(args, "transfer_dtype", None),
     )
@@ -534,17 +560,18 @@ def cmd_test(args) -> int:
 def cmd_infer(args) -> int:
     from ampnet_tpu.data.datasets import InferenceCloudDataset
     from ampnet_tpu.data.schema import select_model_features, normalize_xy_neg_one
-    from ampnet_tpu.infer.tiled import TiledInferencer
 
     restored = _restore_variables(args, "segmentation")
     if restored is None:
         return 1
-    cfg, model, variables, ckpt_name = restored
-    inferencer = TiledInferencer(
-        model, variables, cfg,
-        # whole-cloud evaluation for non-windowed archs (see cmd_test)
-        max_clusters=None if cfg.model.context in ("attention", "gru") else 1,
-        backend=getattr(args, "backend", "xla"),
+    groups, ckpt_name = restored
+    backend = getattr(args, "backend", "xla")
+    if backend != "xla" and any(c.model.context != "attention"
+                                for c, _, _ in groups):
+        print("non-xla backends (folded/bf16/fused/int8) support the attention segmenter only; use --backend xla", file=sys.stderr)
+        return 1
+    inferencer = _make_seg_inferencer(
+        groups, backend=backend, max_clusters_windowed=None,
         tiler=getattr(args, "tiler", "balanced"),
         transfer_dtype=getattr(args, "transfer_dtype", None),
     )
@@ -636,7 +663,8 @@ def cmd_serve(args) -> int:
     restored = _restore_variables(args, task)
     if restored is None:
         return 1
-    cfg, model, variables, ckpt_name = restored
+    groups, ckpt_name = restored
+    cfg, model, variables = groups[0]
     if task == "classification":
         # per-cloud tower classification: same daemon, CloudClassifier engine
         from ampnet_tpu.infer.classify import CloudClassifier
@@ -653,31 +681,27 @@ def cmd_serve(args) -> int:
                   file=sys.stderr)
         inferencer = CloudClassifier(model, variables, cfg)
     else:
-        from ampnet_tpu.infer.tiled import TiledInferencer
-
-        windowed = cfg.model.context in ("attention", "gru")
         backend = args.backend
-        if backend not in ("xla", "folded") and cfg.model.context != "attention":
+        any_non_attention = any(c.model.context != "attention"
+                                for c, _, _ in groups)
+        if backend not in ("xla", "folded") and any_non_attention:
             # covers gru too — every non-xla backend evaluates attention params
             print("non-xla backends (folded/bf16/fused/int8) support the attention "
                   "segmenter only; use --backend xla", file=sys.stderr)
             return 1
-        if backend == "folded" and cfg.model.context != "attention":
+        if backend == "folded" and any_non_attention:
             # the default backend downgrades gracefully for non-attention models
             # (the folded head evaluates attention params)
-            print(f"backend 'folded' is attention-only; serving the "
-                  f"{cfg.model.context} model with 'xla'", file=sys.stderr)
+            print("backend 'folded' is attention-only; serving with 'xla'",
+                  file=sys.stderr)
             backend = "xla"
         mesh = None
         if args.num_devices > 1:
             from ampnet_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(args.num_devices)
-        inferencer = TiledInferencer(
-            model, variables, cfg,
-            # whole-cloud evaluation for non-windowed archs (see cmd_test)
-            max_clusters=args.max_clusters if windowed else 1,
-            backend=backend,
+        inferencer = _make_seg_inferencer(
+            groups, backend=backend, max_clusters_windowed=args.max_clusters,
             tiler=args.tiler,
             transfer_dtype=args.transfer_dtype,
             mesh=mesh,
@@ -912,8 +936,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("test", help="tiled evaluation with IoU CSV")
     s.add_argument("dataset_path")
     s.add_argument("--model_checkpoint", required=True,
-                   help="checkpoint path; comma-separate several for an "
-                        "on-device probability-averaging ensemble")
+                   help="checkpoint path; comma-separate several for a "
+                        "probability-averaging ensemble (same-geometry "
+                        "members stack on device; mixed families, e.g. "
+                        "attention+gru, average per point)")
     s.add_argument("--path_list_files", required=True)
     s.add_argument("--out_path", default="results")
     s.add_argument("--arch", default="attention")
@@ -957,8 +983,10 @@ def build_parser() -> argparse.ArgumentParser:
                                      "input dir, runs whole-tile LAS→LAS classification")
     s.add_argument("dataset_path")
     s.add_argument("--model_checkpoint", required=True,
-                   help="checkpoint path; comma-separate several for an "
-                        "on-device probability-averaging ensemble")
+                   help="checkpoint path; comma-separate several for a "
+                        "probability-averaging ensemble (same-geometry "
+                        "members stack on device; mixed families, e.g. "
+                        "attention+gru, average per point)")
     s.add_argument("--out_path", default="predictions")
     s.add_argument("--arch", default="attention")
     s.add_argument("--window_size", type=float, default=100.0)
@@ -976,7 +1004,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("serve", help="long-lived HTTP inference server")
-    s.add_argument("--model_checkpoint", required=True)
+    s.add_argument("--model_checkpoint", required=True,
+                   help="checkpoint path; comma-separate several for a "
+                        "probability-averaging ensemble (same-geometry "
+                        "members stack on device; mixed families, e.g. "
+                        "attention+gru, average per point)")
     s.add_argument("--arch", default="attention")
     s.add_argument("--task", choices=["segmentation", "classification"],
                    default="segmentation",

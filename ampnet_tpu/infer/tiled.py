@@ -440,6 +440,94 @@ class TiledInferencer:
         return results
 
 
+class EnsembleInferencer:
+    """Cross-family checkpoint ensemble: average per-point class probabilities
+    over member ``TiledInferencer``s that need NOT share architecture,
+    parameter structure, or window geometry (``n_points`` / tiling protocol
+    differ freely). Each member's bucket program scatters its predictions back
+    to ORIGINAL point order (``_bucket_fn``), so the host-side probability
+    mean is index-exact — no resample alignment is needed even though an
+    attention member and a GRU member tile the same cloud differently.
+
+    Same-structure members should be stacked inside ONE ``TiledInferencer``
+    (the on-device vmapped fast path); this wrapper composes those groups, so
+    ``attn_a,attn_b,gru_c`` runs as a 2-member ensemble of a stacked pair and
+    a single. Implements the ``TiledInferencer`` prediction surface
+    (``predict`` / ``predict_tta`` / ``predict_many`` / ``dispatch_many`` /
+    ``fetch_many`` + the serving attributes), so ``ampnet test/infer/serve``
+    and the TTA driver compose unchanged. ``dispatch_many`` enqueues EVERY
+    member's device programs before any fetch — members pipeline on device
+    rather than serializing. No reference counterpart (its tester loads
+    exactly one ``.pth``, test_pointnet_att_segmen.py:87-94)."""
+
+    def __init__(self, members):
+        members = list(members)
+        if len(members) < 2:
+            raise ValueError("EnsembleInferencer needs >= 2 members; a single "
+                             "group belongs in TiledInferencer directly")
+        ncs = {m.cfg.model.num_classes for m in members}
+        if len(ncs) != 1:
+            raise ValueError(
+                f"ensemble members disagree on num_classes: {sorted(ncs)}"
+            )
+        self.members = members
+        # representative attributes for consumers (evaluate_dataset reads
+        # cfg.model.num_classes; serving /v1/stats reports geometry — the
+        # first member stands in, per-member geometry may differ)
+        self.cfg = members[0].cfg
+        self.n_points = members[0].n_points
+        self.max_clusters = max(m.max_clusters for m in members)
+        self.ensemble = sum(getattr(m, "ensemble", 1) for m in members)
+
+    @property
+    def cold_programs_seen(self) -> int:
+        return sum(m.cold_programs_seen for m in self.members)
+
+    def dispatch_many(self, clouds, seeds=None, return_probs: bool = False) -> dict:
+        handles = [
+            m.dispatch_many(clouds, seeds, return_probs=True) for m in self.members
+        ]
+        return {
+            "member_handles": handles,
+            "return_probs": return_probs,
+            "cold": any(h.get("cold") for h in handles),
+        }
+
+    def fetch_many(self, handle: dict) -> list:
+        per_member = [
+            m.fetch_many(h) for m, h in zip(self.members, handle["member_handles"])
+        ]
+        outs = []
+        for i in range(len(per_member[0])):
+            mean = np.mean(
+                [np.asarray(r[i][1], np.float32) for r in per_member], axis=0
+            )
+            preds = np.argmax(mean, axis=-1).astype(np.int32)
+            outs.append(
+                (preds, mean.astype(np.float16)) if handle["return_probs"] else preds
+            )
+        return outs
+
+    def predict_many(self, clouds, seeds=None, return_probs: bool = False) -> list:
+        return self.fetch_many(self.dispatch_many(clouds, seeds, return_probs))
+
+    def predict(self, points9: np.ndarray, seed: int = 0, return_probs: bool = False):
+        return self.predict_many([points9], seeds=[seed], return_probs=return_probs)[0]
+
+    def predict_tta(self, points9: np.ndarray, seed: int = 0, transforms: int = 4,
+                    return_probs: bool = False):
+        T = int(transforms)
+        if T <= 1:
+            return self.predict(points9, seed, return_probs)
+        ((preds, mean),) = tta_ensemble(
+            lambda cs, sd: self.predict_many(cs, seeds=sd, return_probs=True),
+            [points9], T, seeds=[seed],
+        )
+        if return_probs:
+            return preds, mean.astype(np.float16)
+        return preds
+
+
 def evaluate_cloud(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> Dict:
     """Per-cloud metrics like the reference tester (test_pointnet_att_segmen.py:186-219):
     IoU per class present, mIoU over present classes, overall accuracy."""

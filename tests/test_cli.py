@@ -301,7 +301,10 @@ def test_restore_variables_ensemble(tmp_path):
         ns(model_checkpoint=",".join(ckpts), arch="attention",
            task="segmentation"), "segmentation")
     assert restored is not None
-    cfg, model, variables, name = restored
+    groups, name = restored
+    # same signature -> ONE stacked group (the on-device vmap fast path)
+    assert len(groups) == 1
+    cfg, model, variables = groups[0]
     assert isinstance(variables, list) and len(variables) == 2
     assert name.count("+") == 1
 
@@ -320,12 +323,15 @@ def test_restore_variables_ensemble(tmp_path):
     np.testing.assert_allclose(np.asarray(probs, np.float32), want, atol=2e-3)
 
 
-def test_restore_variables_rejects_mismatched_geometry(tmp_path, capsys):
-    """A gru member cannot stack with an attention member (different variable
-    trees) — clean error, not an orbax/stack traceback."""
+def test_restore_variables_cross_family_ensemble(tmp_path):
+    """A gru member cannot stack leaf-wise with an attention member (different
+    variable trees) — it lands in its OWN group, and _make_seg_inferencer
+    wraps the groups in the cross-family EnsembleInferencer whose per-point
+    probabilities are the mean of the members' (each member scatters back to
+    original point order, so no resample alignment is needed)."""
     from test_trainer import MemoryDataset
 
-    from ampnet_tpu.cli.main import _restore_variables
+    from ampnet_tpu.cli.main import _make_seg_inferencer, _restore_variables
     from ampnet_tpu.core.config import AMPNetConfig, ModelConfig, TrainConfig
     from ampnet_tpu.data.pipeline import PaddedBatcher
     from ampnet_tpu.models.factory import build_model
@@ -348,5 +354,24 @@ def test_restore_variables_rejects_mismatched_geometry(tmp_path, capsys):
     restored = _restore_variables(
         ns(model_checkpoint=",".join(ckpts), arch="attention",
            task="segmentation"), "segmentation")
-    assert restored is None
-    assert "disagree on model geometry" in capsys.readouterr().err
+    assert restored is not None
+    groups, name = restored
+    assert len(groups) == 2 and name.count("+") == 1
+    assert {c.model.context for c, _, _ in groups} == {"attention", "gru"}
+
+    from ampnet_tpu.infer.tiled import EnsembleInferencer, TiledInferencer
+
+    ens = _make_seg_inferencer(groups, max_clusters_windowed=4)
+    assert isinstance(ens, EnsembleInferencer) and ens.ensemble == 2
+    rng = np.random.default_rng(3)
+    cloud = rng.normal(size=(300, 9)).astype(np.float32)
+    preds, probs = ens.predict(cloud, seed=5, return_probs=True)
+    assert preds.shape == (300,) and probs.shape[0] == 300
+    singles = [TiledInferencer(m, v, c, max_clusters=4) for c, m, v in groups]
+    want = np.mean([np.asarray(s.predict(cloud, seed=5, return_probs=True)[1],
+                               np.float32) for s in singles], axis=0)
+    np.testing.assert_allclose(np.asarray(probs, np.float32), want, atol=2e-3)
+    np.testing.assert_array_equal(preds, np.argmax(want, -1))
+    # TTA composes through the wrapper exactly as through TiledInferencer
+    pt = ens.predict_tta(cloud, seed=5, transforms=2)
+    assert pt.shape == (300,)

@@ -407,6 +407,54 @@ def test_ensemble_of_identical_checkpoints_matches_single():
                                np.asarray(pr2, np.float32), atol=2e-3)
 
 
+def test_cross_geometry_ensemble_alignment():
+    """EnsembleInferencer members with DIFFERENT window geometry (n_points,
+    max_clusters — so the same cloud tiles differently per member) still
+    average index-exactly: each member's bucket program scatters back to
+    original point order before the host-side mean."""
+    from ampnet_tpu.infer.tiled import EnsembleInferencer
+
+    rng = np.random.default_rng(2)
+    members = []
+    for n_pts, max_k, seed in ((N_POINTS, 6, 0), (128, 3, 7)):
+        cfg = AMPNetConfig(
+            data=DataConfig(n_points=n_pts, max_clusters_test=max_k),
+            model=ModelConfig(dropout=0.0),
+        )
+        model = AMPNetSegmenter(cfg.model)
+        pts = rng.normal(size=(1, 2, n_pts, 9)).astype(np.float32)
+        cent = rng.normal(size=(1, 2, 2)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(seed), pts, cent, None)
+        members.append(TiledInferencer(model, v, cfg))
+    assert members[0].n_points != members[1].n_points
+    ens = EnsembleInferencer(members)
+    assert ens.ensemble == 2
+
+    clouds = [make_cloud(rng, n)[0] for n in (700, 450)]
+    got = ens.predict_many(clouds, seeds=[3, 4], return_probs=True)
+    per = [m.predict_many(clouds, seeds=[3, 4], return_probs=True)
+           for m in members]
+    for i in range(len(clouds)):
+        want = np.mean([np.asarray(p[i][1], np.float32) for p in per], axis=0)
+        np.testing.assert_allclose(np.asarray(got[i][1], np.float32), want,
+                                   atol=2e-3)
+        np.testing.assert_array_equal(got[i][0], np.argmax(want, -1))
+
+    # wrapper guards: singletons and num_classes disagreements are errors
+    with pytest.raises(ValueError):
+        EnsembleInferencer(members[:1])
+    bad_cfg = AMPNetConfig(data=DataConfig(n_points=128),
+                           model=ModelConfig(num_classes=3, dropout=0.0))
+    bad_model = AMPNetSegmenter(bad_cfg.model)
+    bp = rng.normal(size=(1, 2, 128, 9)).astype(np.float32)
+    bc = rng.normal(size=(1, 2, 2)).astype(np.float32)
+    bad = TiledInferencer(
+        bad_model, bad_model.init(jax.random.PRNGKey(1), bp, bc, None), bad_cfg
+    )
+    with pytest.raises(ValueError):
+        EnsembleInferencer([members[0], bad])
+
+
 def test_ensemble_averages_member_probabilities():
     """The 2-member ensemble's probabilities equal the mean of the members'
     (computed on device in float32; members' fetched fp16 probs bound atol)."""

@@ -449,3 +449,46 @@ def test_tta_stats_count_logical_clouds(server):
                          + s["breakdown"]["cold_batches"])
     assert after["breakdown"]["batch_points_mean"] > 0
     assert total_b(after) > total_b(before)
+
+
+def test_serving_cross_family_ensemble():
+    """An EnsembleInferencer (cross-family probability-averaging wrapper,
+    infer/tiled.py) drives the serving engine unchanged: its dispatch_many/
+    fetch_many/cold surface matches TiledInferencer's, and responses equal the
+    library-path ensemble prediction on the same cloud."""
+    from ampnet_tpu.infer.tiled import EnsembleInferencer
+    from ampnet_tpu.models.amp import AMPNetSegmenter as _Seg
+
+    rng = np.random.default_rng(40)
+    members = []
+    for n_pts, seed in ((64, 0), (48, 7)):
+        cfg = AMPNetConfig(
+            data=DataConfig(n_points=n_pts, max_clusters_test=3),
+            model=ModelConfig(dropout=0.0),
+        )
+        model = _Seg(cfg.model)
+        pts = rng.normal(size=(1, 2, n_pts, 9)).astype(np.float32)
+        v = model.init(
+            jax.random.PRNGKey(seed), pts, pts[:, :, :, :2].mean(axis=2),
+            np.zeros((1, 2), bool),
+        )
+        members.append(TiledInferencer(model, v, cfg, max_clusters=3))
+    ens = EnsembleInferencer(members)
+    srv = InferenceServer(ens, host="127.0.0.1", port=0,
+                          model_name="xfam", batch_window_ms=20.0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        cloud = rng.normal(size=(120, 9)).astype(np.float32)
+        status, ctype, body = _post(
+            srv, "/v1/predict", cloud.tobytes(),
+            {"Content-Type": "application/octet-stream"},
+        )
+        assert status == 200 and ctype == "application/octet-stream"
+        labels = np.frombuffer(body, np.int8)
+        # serving uses fixed seed 0 per cloud -> must match the library path
+        np.testing.assert_array_equal(labels, ens.predict(cloud, seed=0))
+        with urllib.request.urlopen(_url(srv, "/healthz"), timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        srv.close()

@@ -187,6 +187,9 @@ def _build_cfg(args):
             grad_accum=getattr(args, "grad_accum", 1) or 1,
             focal_gamma=getattr(args, "focal_gamma", 0.0) or 0.0,
             async_checkpoint=getattr(args, "ckpt_io", "async") != "sync",
+            distill_alpha=(getattr(args, "distill_alpha", 0.0) or 0.0)
+            if getattr(args, "distill_from", "") else 0.0,
+            distill_temp=getattr(args, "distill_temp", 2.0) or 2.0,
         ),
     )
 
@@ -237,6 +240,31 @@ def cmd_train(args) -> int:
         print("--focal_gamma is segmentation-only (make_cls_step_fns builds "
               "its own weighted-CE objective)", file=sys.stderr)
         return 1
+    teacher = None
+    if getattr(args, "distill_from", ""):
+        # knowledge distillation: restore the teacher checkpoints through the
+        # same grouping machinery as inference ensembles (cross-family OK);
+        # the frozen teachers run inside the jitted train step
+        # (train/distill.py)
+        if args.task == "classification":
+            print("--distill_from is segmentation-only (per-point soft "
+                  "targets)", file=sys.stderr)
+            return 1
+        import copy
+
+        ta = copy.copy(args)
+        ta.model_checkpoint = args.distill_from
+        restored = _restore_variables(ta, "segmentation")
+        if restored is None:
+            return 1
+        teacher = restored[0]
+        n_members = sum(
+            len(v) if isinstance(v, (list, tuple)) else 1
+            for _, _, v in teacher
+        )
+        print(f"distilling from {n_members} teacher member(s) in "
+              f"{len(teacher)} group(s): alpha={cfg.train.distill_alpha}, "
+              f"T={cfg.train.distill_temp}", file=sys.stderr)
     # short/ragged batches must stay divisible by grad_accum too — fold it
     # into the pad multiple alongside the device count
     import math
@@ -309,6 +337,7 @@ def cmd_train(args) -> int:
         if val_ds is not None else None,
         args.out_path, name=f"{args.arch}_{args.task}", task=args.task, mesh=mesh,
         epoch_dispatch=getattr(args, "epoch_dispatch", "auto"),
+        teacher=teacher,
     )
     if args.task == "classification":
         from ampnet_tpu.train.cls_step import make_cls_step_fns
@@ -923,6 +952,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="focal-loss exponent for segmentation CE (0 = plain "
                         "weighted CE; 2 = the standard focal setting — "
                         "concentrates gradient on hard/rare classes)")
+    s.add_argument("--distill_from", default="",
+                   help="teacher checkpoint(s) for knowledge distillation, "
+                        "comma-separated like --model_checkpoint ensembles "
+                        "(cross-family attention+gru teachers work); the "
+                        "frozen teacher forward runs inside the jitted train "
+                        "step on the augmented batch")
+    s.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="weight of the T^2*KL teacher term in the data loss "
+                        "(only with --distill_from): (1-a)*CE + a*KL")
+    s.add_argument("--distill_temp", type=float, default=2.0,
+                   help="distillation softmax temperature (Hinton et al.)")
     s.add_argument("--ckpt_io", choices=["async", "sync"], default="async",
                    help="best-val checkpoint writes: 'async' snapshots on "
                         "device and writes from a background thread; 'sync' "

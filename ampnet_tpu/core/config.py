@@ -134,6 +134,11 @@ class TrainConfig:
     # snapshotted on the loop, fetch + orbax write happen off the critical
     # path); False = the reference's inline-save behavior
     async_checkpoint: bool = True
+    # knowledge distillation (train/distill.py): weight of the T²·KL teacher
+    # term in the data loss — (1−α)·CE + α·KL; 0 disables. The teacher
+    # checkpoints arrive separately (`ampnet train --distill_from a,b,...`)
+    distill_alpha: float = 0.0
+    distill_temp: float = 2.0
 
 
 @dataclass(frozen=True)

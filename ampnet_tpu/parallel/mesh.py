@@ -59,16 +59,19 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndar
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def make_sharded_step_fns(cfg: AMPNetConfig, mesh: Mesh, augment: bool = True):
+def make_sharded_step_fns(cfg: AMPNetConfig, mesh: Mesh, augment: bool = True,
+                          teacher=None):
     """Data-parallel versions of train/eval steps.
 
     State (params/opt/batch_stats) is replicated; batches are sharded over 'data'.
     XLA all-reduces the gradients (ICI) because the replicated output sharding of the
-    parameters forces a psum of the per-shard contributions.
+    parameters forces a psum of the per-shard contributions. A distillation
+    ``teacher`` (train/distill.py) traces as replicated constants — each shard
+    runs the teacher on its own batch shard, no collective added.
     """
     from ampnet_tpu.train.step import make_step_fns
 
-    train_step, eval_step = make_step_fns(cfg, augment=augment)
+    train_step, eval_step = make_step_fns(cfg, augment=augment, teacher=teacher)
     repl = replicate_sharding(mesh)
     data = batch_sharding(mesh)
 

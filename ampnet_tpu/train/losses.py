@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -120,6 +121,51 @@ def weighted_cross_entropy(
 ) -> jnp.ndarray:
     num, den = weighted_cross_entropy_parts(logits, targets, class_weights, ignore_index)
     return num / jnp.maximum(den, 1e-12)
+
+
+def distillation_kl_parts(
+    student_logits: jnp.ndarray,  # [..., C]
+    teacher_probs: jnp.ndarray,  # [..., C], tempered + ensemble-averaged
+    targets: jnp.ndarray,  # [...], int, ignore_index marks padding
+    temperature: float = 1.0,
+    ignore_index: int = -1,
+) -> tuple:
+    """(numerator, valid_count) of the knowledge-distillation term (Hinton et
+    al. 2015): ``T² · KL(p_T ‖ p_S^T)`` per non-ignored point, where
+    ``p_S^T = softmax(student_logits / T)`` and ``teacher_probs`` come in
+    already tempered (and ensemble-averaged — train/distill.py). The T² factor
+    keeps the soft-target gradient magnitude comparable to the hard-CE term
+    across temperatures. The count denominator depends only on the targets,
+    so gradient accumulation can normalize every micro-batch by the GLOBAL
+    count, exactly as the CE path does (train/step.py). Unweighted over valid
+    points by design: class weighting belongs to the hard-label term; the
+    teacher's soft distribution already encodes its class beliefs.
+
+    No reference counterpart — its closest mechanism is the GRU trainer's
+    latent-weight reuse (pointnetAtt.py:212-258), a weight-transfer scheme,
+    not a teacher objective."""
+    num_classes = student_logits.shape[-1]
+    t = jnp.float32(temperature)
+    lg = student_logits.reshape(-1, num_classes).astype(jnp.float32) / t
+    tp = teacher_probs.reshape(-1, num_classes).astype(jnp.float32)
+    valid = (targets.reshape(-1) != ignore_index).astype(jnp.float32)
+    logp_s = jax.nn.log_softmax(lg, axis=-1)
+    # p·log p with the p→0 limit handled by clipping inside the log only
+    kl = (tp * (jnp.log(jnp.clip(tp, 1e-12, 1.0)) - logp_s)).sum(-1)
+    return (kl * valid).sum() * t * t, valid.sum()
+
+
+def distillation_kl(
+    student_logits: jnp.ndarray,
+    teacher_probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    temperature: float = 1.0,
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    num, den = distillation_kl_parts(
+        student_logits, teacher_probs, targets, temperature, ignore_index
+    )
+    return num / jnp.maximum(den, 1.0)
 
 
 def orthogonality_regularizer(transforms: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,8 @@ from ampnet_tpu.ops.augment import (
 )
 from ampnet_tpu.train.losses import (
     cross_entropy_weight_sum,
+    distillation_kl,
+    distillation_kl_parts,
     orthogonality_regularizer,
     weighted_cross_entropy,
     weighted_cross_entropy_parts,
@@ -73,6 +75,7 @@ def make_step_fns(
     cfg: AMPNetConfig,
     augment: bool = True,
     grad_accum: int = 0,  # 0 → cfg.train.grad_accum
+    teacher=None,  # [(cfg, model, variables_or_list), ...] → distillation
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures over the config.
 
@@ -128,6 +131,23 @@ def make_step_fns(
                 lg, lb, class_weights, cfg.train.ignore_index
             )
 
+    # knowledge distillation (train/distill.py): the frozen teacher forward
+    # runs inside this same program on the augmented batch; the data term
+    # becomes (1−α)·CE + α·T²·KL(teacher ‖ student)
+    alpha = float(getattr(cfg.train, "distill_alpha", 0.0))
+    temp = float(getattr(cfg.train, "distill_temp", 1.0))
+    if teacher is not None and not 0.0 < alpha <= 1.0:
+        raise ValueError(
+            f"distillation needs 0 < distill_alpha <= 1, got {alpha}"
+        )
+    if temp <= 0:
+        raise ValueError(f"distill_temp must be > 0, got {temp}")
+    teacher_fn = None
+    if teacher is not None:
+        from ampnet_tpu.train.distill import make_teacher_fn
+
+        teacher_fn = make_teacher_fn(teacher, temperature=temp)
+
     recipe = tuple(cfg.train.augmentations) if augment else ()
 
     # donate the input state: params/opt buffers update in place instead of
@@ -163,23 +183,43 @@ def make_step_fns(
         aug = dict(batch, points=points, labels=labels)
         if centroids is not None:
             aug["centroids"] = centroids
+        if teacher_fn is not None:
+            # frozen teacher forward on the SAME augmented batch the student
+            # sees (shared rotation/shuffle/dropout); fused into this program
+            pad_mask = aug.get("window_pad_mask")
+            if pad_mask is None:
+                pad_mask = window_pad_mask_from_labels(aug["labels"])
+            aug["teacher_probs"] = teacher_fn(
+                aug["points"], aug.get("centroids"), pad_mask,
+                aug.get("point_mask"),
+            )
 
-        def loss_and_grads(params, bstats, mb, k_drop_i, ce_fn, reg_scale):
+        def full_obj(lg, mb):
+            """(data_term, ce_piece, kl_piece) on a full batch."""
+            ce = data_loss(lg, mb["labels"])
+            if teacher_fn is None:
+                return ce, ce, jnp.float32(0.0)
+            dl = distillation_kl(lg, mb["teacher_probs"], mb["labels"],
+                                 temp, cfg.train.ignore_index)
+            return (1.0 - alpha) * ce + alpha * dl, ce, dl
+
+        def loss_and_grads(params, bstats, mb, k_drop_i, obj_fn, reg_scale):
             """Shared loss+grad closure; the full-batch and micro-batch paths
-            differ only in the CE normalizer and the regularizer scale."""
+            differ only in the objective normalizers and regularizer scale."""
             def loss_fn(p):
                 logits, t_feat, new_stats = _forward(
                     state, p, bstats, mb, cfg, True, k_drop_i
                 )
-                ce = ce_fn(logits, mb["labels"])
+                data, ce, dl = obj_fn(logits, mb)
                 reg = orthogonality_regularizer(t_feat)
-                return ce + reg_w * reg * reg_scale, (ce, reg, logits, new_stats)
+                return (data + reg_w * reg * reg_scale,
+                        (ce, dl, reg, logits, new_stats))
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         if grad_accum == 1:
-            (loss, (ce, reg, logits, new_stats)), grads = loss_and_grads(
-                state.params, state.batch_stats, aug, k_drop, data_loss, 1.0,
+            (loss, (ce, dl, reg, logits, new_stats)), grads = loss_and_grads(
+                state.params, state.batch_stats, aug, k_drop, full_obj, 1.0,
             )
             cm = confusion_matrix(jnp.argmax(logits, axis=-1), aug["labels"], num_classes)
             # under focal training the objective's data term is NOT the CE;
@@ -211,16 +251,32 @@ def make_step_fns(
                 ),
                 1e-12,
             )
+            # KD normalizer: global valid-point count — label-only like
+            # w_total, so Σ_k ∇(num_k / n_total) is the exact full-batch
+            # KL gradient (same argument as the CE path)
+            n_total = jnp.maximum(
+                (aug["labels"].reshape(-1)
+                 != cfg.train.ignore_index).astype(jnp.float32).sum(),
+                1.0,
+            )
 
-            def micro_ce(lg, lb):
-                num, _ = data_loss_parts(lg, lb)
-                return num / w_total  # this micro's share of the batch data loss
+            def micro_obj(lg, mb):
+                num, _ = data_loss_parts(lg, mb["labels"])
+                ce = num / w_total  # this micro's share of the batch data loss
+                if teacher_fn is None:
+                    return ce, ce, jnp.float32(0.0)
+                knum, _ = distillation_kl_parts(
+                    lg, mb["teacher_probs"], mb["labels"], temp,
+                    cfg.train.ignore_index,
+                )
+                dl = knum / n_total
+                return (1.0 - alpha) * ce + alpha * dl, ce, dl
 
             def body(carry, xs):
-                bstats, gacc, lacc, ceacc, tceacc, regacc, cmacc = carry
+                bstats, gacc, lacc, ceacc, dlacc, tceacc, regacc, cmacc = carry
                 mb, k_i = xs
-                (l, (ce_i, reg_i, logits, new_stats)), g = loss_and_grads(
-                    state.params, bstats, mb, k_i, micro_ce, 1.0 / k
+                (l, (ce_i, dl_i, reg_i, logits, new_stats)), g = loss_and_grads(
+                    state.params, bstats, mb, k_i, micro_obj, 1.0 / k
                 )
                 # true-CE share of the batch (focal runs log both; identical
                 # to ce_i at gamma=0, where XLA CSEs the duplicate expression)
@@ -231,19 +287,19 @@ def make_step_fns(
                     jnp.argmax(logits, axis=-1), mb["labels"], num_classes
                 )
                 gacc = jax.tree.map(jnp.add, gacc, g)
-                return (new_stats, gacc, lacc + l, ceacc + ce_i, tceacc + tce_i,
-                        regacc + reg_i, cmacc + cm_i), None
+                return (new_stats, gacc, lacc + l, ceacc + ce_i, dlacc + dl_i,
+                        tceacc + tce_i, regacc + reg_i, cmacc + cm_i), None
 
             zero_g = jax.tree.map(jnp.zeros_like, state.params)
             z = jnp.float32(0.0)
-            init = (state.batch_stats, zero_g, z, z, z, z,
+            init = (state.batch_stats, zero_g, z, z, z, z, z,
                     jnp.zeros((num_classes, num_classes), jnp.float32))
-            (new_stats, grads, lsum, cesum, tcesum, regsum, cm), _ = jax.lax.scan(
-                body, init, (micro, drop_keys)
+            (new_stats, grads, lsum, cesum, dlsum, tcesum, regsum, cm), _ = (
+                jax.lax.scan(body, init, (micro, drop_keys))
             )
-            # micro losses are already globally normalized (CE) / K-scaled
+            # micro losses are already globally normalized (CE/KL) / K-scaled
             # (reg), so the accumulated grads and sums need no rescaling
-            loss, ce, reg = lsum, cesum, regsum / k
+            loss, ce, dl, reg = lsum, cesum, dlsum, regsum / k
             true_ce = tcesum if focal_gamma > 0 else ce
 
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
@@ -257,6 +313,8 @@ def make_step_fns(
             # the objective's data term; "ce_loss" above stays true CE so the
             # scalar is comparable across runs with different objectives
             metrics["focal_loss"] = ce
+        if teacher_fn is not None:
+            metrics["distill_loss"] = dl
         return new_state, metrics
 
     @jax.jit

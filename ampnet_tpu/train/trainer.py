@@ -86,6 +86,7 @@ class Trainer:
         mesh=None,
         augment: bool = True,
         epoch_dispatch: str = "auto",
+        teacher=None,  # [(cfg, model, variables_or_list)] -> distillation
     ):
         self.cfg = cfg
         self.model = model
@@ -112,10 +113,12 @@ class Trainer:
         if mesh is not None:
             from ampnet_tpu.parallel.mesh import make_sharded_step_fns, replicate_state
 
-            self.train_step, self.eval_step = make_sharded_step_fns(cfg, mesh, augment=augment)
+            self.train_step, self.eval_step = make_sharded_step_fns(
+                cfg, mesh, augment=augment, teacher=teacher)
             self.state = replicate_state(self.state, mesh)
         else:
-            self.train_step, self.eval_step = make_step_fns(cfg, augment=augment)
+            self.train_step, self.eval_step = make_step_fns(
+                cfg, augment=augment, teacher=teacher)
 
         counts = parameter_counts(self.state.params)
         print(
@@ -180,7 +183,7 @@ class Trainer:
         confusions = [np.asarray(c) for c in ms["confusion"]]
         losses = {
             k: [float(x) for x in ms[k]]
-            for k in ("loss", "ce_loss", "focal_loss", "reg_loss")
+            for k in ("loss", "ce_loss", "focal_loss", "reg_loss", "distill_loss")
             if k in ms
         }
         return _epoch_metrics(confusions, losses)
@@ -195,7 +198,7 @@ class Trainer:
         # per step would force a host sync between every dispatch (costly over a
         # remote-relay transport); deferring keeps the step stream fully async.
         confusions, losses = [], {"loss": [], "ce_loss": [], "focal_loss": [],
-                                  "reg_loss": []}
+                                  "reg_loss": [], "distill_loss": []}
         for batch in data:
             dev = to_device_batch(batch, self.mesh)
             if train:

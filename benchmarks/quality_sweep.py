@@ -63,6 +63,9 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         bn_mode="batch",
         dtype=dtype,
         focal_gamma=0.0,
+        distill_from="",
+        distill_alpha=0.5,
+        distill_temp=2.0,
         reference_noise_compat=False,
     )
 
@@ -93,15 +96,27 @@ def run_one(family, seed, args):
     from ampnet_tpu.cli.main import cmd_test, cmd_train
 
     base, _, mod = family.partition("@")
-    seg_weighing, focal_gamma = "", 0.0
+    seg_weighing, focal_gamma, distill = "", 0.0, False
     if mod.startswith("focal"):
         focal_gamma = float(mod[len("focal"):] or 2.0)
+    elif mod.startswith("kd"):
+        # knowledge-distillation arm: 'attention@kd' (alpha from --distill_*)
+        # or 'attention@kd0.7' (alpha override); teacher = --distill_from
+        distill = True
     else:
         seg_weighing = mod
     ta = train_args(base, seed, args.data, args.scratch, args.epochs,
                     args.batch_size, args.n_points, args.n_windows, args.dtype,
                     seg_weighing=seg_weighing)
     ta.focal_gamma = focal_gamma
+    if distill:
+        if not getattr(args, "distill_from", ""):
+            return {"family": family, "seed": seed,
+                    "error": "@kd arm needs --distill_from"}
+        ta.distill_from = args.distill_from
+        ta.distill_alpha = (float(mod[len("kd"):]) if mod[len("kd"):]
+                            else args.distill_alpha)
+        ta.distill_temp = args.distill_temp
     ta.out_path = os.path.join(args.scratch, f"{family.replace('@', '_')}_s{seed}")
     os.makedirs(ta.out_path, exist_ok=True)
     t0 = time.time()
@@ -152,6 +167,11 @@ def main():
                     help="dihedral-ensemble views at TEST time (infer --tta "
                          "semantics); combine with --eval_only to re-score "
                          "checkpoints from an earlier sweep's --scratch")
+    ap.add_argument("--distill_from", default="",
+                    help="teacher checkpoint(s) for '@kd' arms (comma-"
+                         "separated; cross-family OK — cli --distill_from)")
+    ap.add_argument("--distill_alpha", type=float, default=0.5)
+    ap.add_argument("--distill_temp", type=float, default=2.0)
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate the existing best "
                          "checkpoints in --scratch (errors if one is missing)")

@@ -375,3 +375,51 @@ def test_restore_variables_cross_family_ensemble(tmp_path):
     # TTA composes through the wrapper exactly as through TiledInferencer
     pt = ens.predict_tta(cloud, seed=5, transforms=2)
     assert pt.shape == (300,)
+
+
+def test_train_with_distillation_cli(tmp_path, capsys):
+    """--distill_from: the student trains against a frozen teacher checkpoint
+    restored through the ensemble grouping machinery; distill_loss shows up in
+    the epoch metrics and a classification run is cleanly rejected."""
+    from ampnet_tpu.cli.main import cmd_preprocess, cmd_train
+
+    las, proc = str(tmp_path / "las"), str(tmp_path / "proc")
+    assert cmd_synth(ns(out_path=las, n_tiles=2, windows_per_tile=1,
+                        points_per_window=1200, window_size=50.0, seed=0)) == 0
+    assert cmd_preprocess(ns(in_path=las, out_path=proc, dataset="T",
+                             window_size=50.0, max_z=100.0, min_points=100,
+                             n_points=64, max_windows=2, hag_cell=2.0, seed=0,
+                             artifact_format="npz")) == 0
+    base = dict(dataset_path=proc, task="segmentation", path_list_files=proc,
+                number_of_points=64, number_of_windows=2, batch_size=2,
+                epochs=1, learning_rate=1e-3, weighing_method="EFS",
+                model_checkpoint="", num_devices=1, bn_mode="batch",
+                dtype="float32", grad_accum=1, device_cache="off",
+                epoch_dispatch="off")
+    t_out = str(tmp_path / "teacher")
+    assert cmd_train(ns(arch="attention", out_path=t_out, seed=0, **base)) == 0
+    ckpt = os.path.join(t_out, "checkpoints", "attention_segmentation_best")
+    assert os.path.isdir(ckpt)
+
+    s_out = str(tmp_path / "student")
+    rc = cmd_train(ns(arch="attention", out_path=s_out, seed=1,
+                      distill_from=ckpt, distill_alpha=0.5, distill_temp=2.0,
+                      **base))
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "distilling from 1 teacher member(s) in 1 group(s)" in err
+    # the student's train log carries the distillation scalar
+    import csv as _csv
+    log = os.path.join(s_out, "logs", "attention_segmentation_train",
+                       "scalars.csv")
+    with open(log) as f:
+        kd_rows = [r for r in _csv.DictReader(f) if r["tag"] == "distill_loss"]
+    assert kd_rows, "distill_loss missing from the train scalars"
+    assert np.isfinite(float(kd_rows[-1]["value"]))
+
+    # classification + distillation is a clean error
+    rc = cmd_train(ns(arch="baseline", out_path=str(tmp_path / "c"), seed=0,
+                      **{**base, "task": "classification",
+                         "distill_from": ckpt}))
+    assert rc == 1
+    assert "segmentation-only" in capsys.readouterr().err

@@ -330,3 +330,140 @@ def test_grad_accum_focal_gradient_exact_vs_full_batch(cfg, setup):
         float(m_full["ce_loss"]), rel=1e-5)
     assert float(m_acc["focal_loss"]) == pytest.approx(
         float(m_full["focal_loss"]), rel=1e-5)
+
+
+def _teacher_groups(cfg_like, batch, seed=11):
+    """A 1-member teacher group at a fresh init (train/distill.py contract)."""
+    model = AMPNetSegmenter(cfg_like.model)
+    v = model.init(jax.random.PRNGKey(seed), batch["points"],
+                   batch["centroids"], None)
+    return [(cfg_like, model, v)]
+
+
+def test_distillation_kl_one_hot_teacher_is_ce():
+    """At T=1 with a one-hot teacher, KL(p_T || p_S) per point reduces to
+    -log p_S(target) — the unweighted CE — so the mean over valid points must
+    equal the unweighted-CE mean (the golden identity for the KD term)."""
+    from ampnet_tpu.train.losses import distillation_kl, weighted_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 3, 16, 5)), jnp.float32)
+    labels = rng.integers(0, 5, size=(2, 3, 16))
+    labels[0, 1] = -1  # an ignored window
+    labels = jnp.asarray(labels, jnp.int32)
+    onehot = jax.nn.one_hot(jnp.maximum(labels, 0), 5, dtype=jnp.float32)
+    got = distillation_kl(logits, onehot, labels, temperature=1.0)
+    want = weighted_cross_entropy(logits, labels, None)  # unweighted mean
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+
+def test_distill_step_pulls_student_toward_teacher(cfg, setup):
+    """alpha=1 (pure KD): training must monotonically-ish shrink the KL to the
+    frozen teacher, and the distill_loss metric must be reported."""
+    _, _, batch = setup
+    cfg_kd = AMPNetConfig(
+        model=ModelConfig(dropout=0.0),
+        train=TrainConfig(learning_rate=5e-3, distill_alpha=1.0,
+                          distill_temp=2.0),
+    )
+    model = AMPNetSegmenter(cfg_kd.model)
+    state = create_train_state(cfg_kd, model, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=1)
+    teacher = _teacher_groups(cfg_kd, batch)
+    train_step, _ = make_step_fns(cfg_kd, augment=False, teacher=teacher)
+    kls = []
+    for _ in range(25):
+        state, metrics = train_step(state, batch)
+        kls.append(float(metrics["distill_loss"]))
+    assert np.isfinite(kls).all()
+    assert kls[-1] < kls[0] * 0.7, kls
+    # the total objective is the KD term plus the regularizer only
+    assert float(metrics["loss"]) == pytest.approx(
+        float(metrics["distill_loss"])
+        + cfg_kd.train.reg_weight * float(metrics["reg_loss"]), rel=1e-4)
+
+
+def test_distill_grad_accum_exact_vs_full_batch(cfg, setup):
+    """The accumulated (1-a)CE + a*KL gradient must equal the full-batch
+    gradient exactly — both normalizers (weight sum, valid count) are global
+    (same isolation choices as the CE exactness test: reg off, window BN,
+    unequal valid mass across micros)."""
+    _, _, batch = setup
+    cfg_iso = AMPNetConfig(
+        model=ModelConfig(dropout=0.0, bn_mode="window"),
+        train=TrainConfig(reg_weight=0.0, learning_rate=5e-3,
+                          distill_alpha=0.5, distill_temp=3.0),
+    )
+    model = AMPNetSegmenter(cfg_iso.model)
+    half_b = {k: v for k, v in batch.items()}
+    labels_b = np.array(batch["labels"])
+    labels_b[:, 1:, :] = -1
+    labels_b[:, 0, ::2] = -1
+    half_b["labels"] = jnp.asarray(labels_b)
+    dup = {k: jnp.concatenate([batch[k], half_b[k]], axis=0) for k in batch}
+
+    state = create_train_state(cfg_iso, model, jax.random.PRNGKey(0), dup,
+                               steps_per_epoch=1)
+    teacher = _teacher_groups(cfg_iso, batch)
+    step_full, _ = make_step_fns(cfg_iso, augment=False, grad_accum=1,
+                                 teacher=teacher)
+    step_acc, _ = make_step_fns(cfg_iso, augment=False, grad_accum=2,
+                                teacher=teacher)
+    _, m_full = step_full(clone_state(state), dup)
+    _, m_acc = step_acc(clone_state(state), dup)
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-5)
+    assert float(m_acc["distill_loss"]) == pytest.approx(
+        float(m_full["distill_loss"]), rel=1e-5)
+    assert float(m_acc["grad_norm"]) == pytest.approx(
+        float(m_full["grad_norm"]), rel=1e-4)
+
+
+def test_distill_stacked_and_cross_family_teacher(cfg, setup):
+    """A stacked 2-member teacher group plus a GRU group (cross-family) build
+    and step finitely; the teacher mean over M members matches averaging the
+    members' individual soft targets (spot-checked through the KL value)."""
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.distill import make_teacher_fn
+
+    _, _, batch = setup
+    cfg_kd = AMPNetConfig(
+        model=ModelConfig(dropout=0.0),
+        train=TrainConfig(learning_rate=5e-3, distill_alpha=0.5,
+                          distill_temp=2.0),
+    )
+    att = AMPNetSegmenter(cfg_kd.model)
+    v1 = att.init(jax.random.PRNGKey(1), batch["points"], batch["centroids"], None)
+    v2 = att.init(jax.random.PRNGKey(2), batch["points"], batch["centroids"], None)
+    from ampnet_tpu.core.config import AMPNetConfig as _C
+    gru_cfg = _C(model=ModelConfig(context="gru", dropout=0.0))
+    gru = build_model(gru_cfg, "gru", "segmentation")
+    vg = gru.init(jax.random.PRNGKey(3), batch["points"], batch["centroids"], None)
+    groups = [(cfg_kd, att, [v1, v2]), (gru_cfg, gru, vg)]
+
+    # stacked-vmap mean == explicit member mean
+    fn = make_teacher_fn(groups, temperature=2.0)
+    got = fn(batch["points"], batch["centroids"],
+             window_pad_mask_from_labels(batch["labels"]), None)
+    singles = make_teacher_fn(
+        [(cfg_kd, att, v1), (cfg_kd, att, v2), (gru_cfg, gru, vg)],
+        temperature=2.0,
+    )(batch["points"], batch["centroids"],
+      window_pad_mask_from_labels(batch["labels"]), None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(singles),
+                               rtol=2e-5, atol=2e-6)
+
+    model = AMPNetSegmenter(cfg_kd.model)
+    state = create_train_state(cfg_kd, model, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=1)
+    train_step, _ = make_step_fns(cfg_kd, augment=False, teacher=groups)
+    state, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["distill_loss"]))
+
+
+def test_distill_alpha_validation(cfg, setup):
+    _, _, batch = setup
+    bad = AMPNetConfig(model=ModelConfig(dropout=0.0),
+                       train=TrainConfig(distill_alpha=0.0))
+    with pytest.raises(ValueError, match="distill_alpha"):
+        make_step_fns(bad, teacher=_teacher_groups(bad, batch))

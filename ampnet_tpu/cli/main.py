@@ -216,6 +216,44 @@ def seg_class_weights(train_ds, method: str, num_classes: int, beta: float,
     return cw, counts
 
 
+def rare_class_repeats(train_ds, factor: int, classes_spec: str,
+                       num_classes: int, auto_share: float = 0.05):
+    """Per-sample epoch multiplicities for rare-class window oversampling:
+    samples containing any target class appear ``factor`` times per epoch
+    (data/pipeline.py PaddedBatcher.repeats). ``classes_spec`` is a comma
+    list of class ids or 'auto' (classes under ``auto_share`` of valid
+    points). A DATA route to the rare-class frontier — the loss routes
+    (inverse-frequency weights, focal) both measured negative on the hard
+    benchmark (BASELINE.md). The reference has a cousin only on the
+    classification side (its tower/landscape balancing, datasets.py:36-45);
+    nothing for segmentation.
+
+    Returns (repeats [len(ds)] | None, rare_classes, n_oversampled)."""
+    labels = [np.asarray(train_ds[i]["labels"]).ravel() for i in range(len(train_ds))]
+    if classes_spec == "auto":
+        counts = np.zeros(num_classes, np.int64)
+        for lab in labels:
+            v = lab[(lab >= 0) & (lab < num_classes)]
+            counts += np.bincount(v, minlength=num_classes)[:num_classes]
+        share = counts / max(counts.sum(), 1)
+        # absent classes are not "rare" — nothing to oversample toward
+        rare = [c for c in range(num_classes) if 0 < share[c] < auto_share]
+    else:
+        rare = sorted({int(c) for c in classes_spec.split(",") if c.strip()})
+        bad = [c for c in rare if not 0 <= c < num_classes]
+        if bad:
+            raise ValueError(f"--oversample_classes ids out of range: {bad}")
+    if not rare:
+        return None, [], 0
+    repeats = np.ones(len(labels), np.int64)
+    rare_arr = np.asarray(rare)
+    for i, lab in enumerate(labels):
+        if np.isin(lab, rare_arr).any():
+            repeats[i] = factor
+    n_over = int((repeats > 1).sum())
+    return (repeats if n_over else None), rare, n_over
+
+
 def cmd_train(args) -> int:
     from ampnet_tpu.core.metrics import get_class_weights
     from ampnet_tpu.data.datasets import CloudDataset, WindowedCloudDataset
@@ -287,11 +325,11 @@ def cmd_train(args) -> int:
     if windowed:
         train_ds = WindowedCloudDataset(args.dataset_path, lists["train"], **mk_kw)
         val_ds = WindowedCloudDataset(args.dataset_path, lists["val"], **mk_kw) if lists["val"] else None
-        mk_batch = lambda ds, seed: PaddedBatcher(
+        mk_batch = lambda ds, seed, repeats=None: PaddedBatcher(
             ds, args.batch_size, n_points=args.number_of_points,
             max_windows=args.number_of_windows, seed=seed,
             drop_last=len(ds) >= args.batch_size,
-            pad_to_multiple=pad_multiple,
+            pad_to_multiple=pad_multiple, repeats=repeats,
         )
     else:
         train_ds = CloudDataset(args.dataset_path, lists["train"],
@@ -301,11 +339,28 @@ def cmd_train(args) -> int:
                          number_of_points=args.number_of_points, **mk_kw)
             if lists["val"] else None
         )
-        mk_batch = lambda ds, seed: SingleCloudBatcher(
+        mk_batch = lambda ds, seed, repeats=None: SingleCloudBatcher(
             ds, args.batch_size, n_points=args.number_of_points, seed=seed,
             drop_last=len(ds) >= args.batch_size,
-            pad_to_multiple=pad_multiple,
+            pad_to_multiple=pad_multiple, repeats=repeats,
         )
+
+    repeats = None
+    osf = int(getattr(args, "oversample_factor", 1) or 1)
+    if osf > 1:
+        if args.task == "classification":
+            print("--oversample_factor is segmentation-only (the cls trainer "
+                  "already balances via class weights)", file=sys.stderr)
+            return 1
+        repeats, rare, n_over = rare_class_repeats(
+            train_ds, osf, getattr(args, "oversample_classes", "auto"),
+            cfg.model.num_classes)
+        if repeats is None:
+            print("oversampling: no rare classes found (or no cloud contains "
+                  "one) — continuing without", file=sys.stderr)
+        else:
+            print(f"oversampling x{osf}: {n_over}/{len(train_ds)} train "
+                  f"clouds contain rare classes {rare}", file=sys.stderr)
 
     if args.task == "segmentation" and getattr(args, "seg_weighing", ""):
         cw, counts = seg_class_weights(train_ds, args.seg_weighing,
@@ -332,7 +387,7 @@ def cmd_train(args) -> int:
 
     cache_mode = getattr(args, "device_cache", "auto")
     trainer = Trainer(
-        cfg, model, maybe_device_cache(mk_batch(train_ds, cfg.train.seed), mesh, cache_mode),
+        cfg, model, maybe_device_cache(mk_batch(train_ds, cfg.train.seed, repeats), mesh, cache_mode),
         maybe_device_cache(mk_batch(val_ds, cfg.train.seed + 1), mesh, cache_mode)
         if val_ds is not None else None,
         args.out_path, name=f"{args.arch}_{args.task}", task=args.task, mesh=mesh,
@@ -952,6 +1007,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="focal-loss exponent for segmentation CE (0 = plain "
                         "weighted CE; 2 = the standard focal setting — "
                         "concentrates gradient on hard/rare classes)")
+    s.add_argument("--oversample_factor", type=int, default=1,
+                   help="rare-class window oversampling: train clouds that "
+                        "contain a rare class appear N times per epoch "
+                        "(deterministic index repeats; 1 = off)")
+    s.add_argument("--oversample_classes", default="auto",
+                   help="comma list of class ids to oversample, or 'auto' = "
+                        "classes under 5%% of valid train points")
     s.add_argument("--distill_from", default="",
                    help="teacher checkpoint(s) for knowledge distillation, "
                         "comma-separated like --model_checkpoint ensembles "

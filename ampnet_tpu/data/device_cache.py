@@ -63,6 +63,9 @@ def _single_sample_loader(batcher):
     loader.drop_last = False
     loader.pad_to_multiple = 1
     loader.prefetch = 0
+    # the cache stores each sample exactly ONCE — oversampling multiplicities
+    # apply to the epoch order (DeviceCachedBatcher._epoch_indices), not here
+    loader.repeats = None
     # one-sample batches gain nothing from a worker pool (pool.map over a
     # single index per batch) — and a copied pool would leak its processes
     loader.workers = 0
@@ -109,6 +112,9 @@ class DeviceCachedBatcher:
         self.drop_last = inner.drop_last
         self.pad_to_multiple = inner.pad_to_multiple
         self.epoch = inner.epoch
+        # rare-class oversampling multiplicities: the CACHE stores each sample
+        # once; only the epoch ORDER repeats (pipeline.py PaddedBatcher.repeats)
+        self.repeats = getattr(inner, "repeats", None)
         self.names: list = []
         self._build(limit_bytes)
 
@@ -160,8 +166,13 @@ class DeviceCachedBatcher:
         return jax.jit(gather, in_shardings=(repl, dsh, dsh), out_shardings=dsh)
 
     # -- batcher protocol ----------------------------------------------------
+    def _base_indices(self) -> np.ndarray:
+        if self.repeats is None:
+            return np.arange(len(self.names))
+        return np.repeat(np.arange(len(self.names)), self.repeats)
+
     def __len__(self) -> int:
-        n = len(self.names)
+        n = len(self._base_indices())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -174,7 +185,7 @@ class DeviceCachedBatcher:
         marked True (labels forced to −1 by the gather)."""
         rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
-        order = np.arange(len(self.names))
+        order = self._base_indices()
         if self.shuffle:
             rng.shuffle(order)
         out = []

@@ -83,6 +83,7 @@ class PaddedBatcher:
         prefetch: int = 2,
         pad_to_multiple: int = 1,
         workers: int = 0,
+        repeats=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -98,6 +99,23 @@ class PaddedBatcher:
         self.workers = workers
         self._pool = None
         self.epoch = 0
+        # per-sample epoch multiplicities (rare-class oversampling): sample i
+        # appears repeats[i] times in every epoch's order before shuffling.
+        # Integer and fixed across epochs, so batch counts (and the device
+        # cache's whole-epoch scan shapes) stay static. None = all ones.
+        if repeats is not None:
+            repeats = np.asarray(repeats, np.int64)
+            if repeats.shape != (len(dataset),) or (repeats < 1).any():
+                raise ValueError(
+                    "repeats must hold one positive int per dataset sample"
+                )
+        self.repeats = repeats
+
+    def _base_indices(self) -> np.ndarray:
+        """Epoch index pool before shuffling: each sample at its multiplicity."""
+        if self.repeats is None:
+            return np.arange(len(self.dataset))
+        return np.repeat(np.arange(len(self.dataset)), self.repeats)
 
     def _load_samples(self, idxs):
         if self.workers <= 0:
@@ -134,14 +152,14 @@ class PaddedBatcher:
         return out
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._base_indices())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
         """Sample order for one epoch; subclasses shard this across hosts."""
-        order = np.arange(len(self.dataset))
+        order = self._base_indices()
         if self.shuffle:
             rng.shuffle(order)
         return order
@@ -301,7 +319,7 @@ class HostShardedBatcher(PaddedBatcher):
         super().__init__(dataset, batch_size=global_batch_size // host_count, **kw)
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.global_batch_size
+        return len(self._base_indices()) // self.global_batch_size
 
     def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
         # identical global permutation on every host (same seed+epoch), then an

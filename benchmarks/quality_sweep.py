@@ -63,6 +63,8 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         bn_mode="batch",
         dtype=dtype,
         focal_gamma=0.0,
+        oversample_factor=1,
+        oversample_classes="auto",
         distill_from="",
         distill_alpha=0.5,
         distill_temp=2.0,
@@ -96,19 +98,23 @@ def run_one(family, seed, args):
     from ampnet_tpu.cli.main import cmd_test, cmd_train
 
     base, _, mod = family.partition("@")
-    seg_weighing, focal_gamma, distill = "", 0.0, False
+    seg_weighing, focal_gamma, distill, oversample = "", 0.0, False, 1
     if mod.startswith("focal"):
         focal_gamma = float(mod[len("focal"):] or 2.0)
     elif mod.startswith("kd"):
         # knowledge-distillation arm: 'attention@kd' (alpha from --distill_*)
         # or 'attention@kd0.7' (alpha override); teacher = --distill_from
         distill = True
+    elif mod.startswith("os"):
+        # rare-class oversampling arm: 'attention@os4' = --oversample_factor 4
+        oversample = int(mod[len("os"):] or 4)
     else:
         seg_weighing = mod
     ta = train_args(base, seed, args.data, args.scratch, args.epochs,
                     args.batch_size, args.n_points, args.n_windows, args.dtype,
                     seg_weighing=seg_weighing)
     ta.focal_gamma = focal_gamma
+    ta.oversample_factor = oversample
     if distill:
         if not getattr(args, "distill_from", ""):
             return {"family": family, "seed": seed,

@@ -423,3 +423,50 @@ def test_train_with_distillation_cli(tmp_path, capsys):
                          "distill_from": ckpt}))
     assert rc == 1
     assert "segmentation-only" in capsys.readouterr().err
+
+
+def test_rare_class_repeats_and_oversample_cli(tmp_path, capsys):
+    """rare_class_repeats: auto mode flags classes under 5% of valid points
+    and multiplies only the clouds containing them; the CLI flag trains with
+    the oversampled epoch (more steps/epoch) and reports what it did."""
+    from ampnet_tpu.cli.main import cmd_preprocess, cmd_train, rare_class_repeats
+
+    class _DS:
+        def __init__(self, labels):
+            self.labels = labels
+
+        def __len__(self):
+            return len(self.labels)
+
+        def __getitem__(self, i):
+            return {"labels": np.asarray(self.labels[i])}
+
+    # class 1 is 2/400 points -> rare in auto mode; only sample 1 carries it
+    ds = _DS([np.zeros(200, np.int64),
+              np.concatenate([np.zeros(198, np.int64), np.array([1, 1])])])
+    reps, rare, n_over = rare_class_repeats(ds, 4, "auto", num_classes=5)
+    assert rare == [1] and n_over == 1
+    np.testing.assert_array_equal(reps, [1, 4])
+    # explicit list; out-of-range ids rejected
+    reps, rare, n_over = rare_class_repeats(ds, 3, "0", num_classes=5)
+    assert rare == [0] and n_over == 2
+    with pytest.raises(ValueError, match="out of range"):
+        rare_class_repeats(ds, 3, "7", num_classes=5)
+
+    las, proc = str(tmp_path / "las"), str(tmp_path / "proc")
+    assert cmd_synth(ns(out_path=las, n_tiles=2, windows_per_tile=1,
+                        points_per_window=1200, window_size=50.0, seed=0)) == 0
+    assert cmd_preprocess(ns(in_path=las, out_path=proc, dataset="T",
+                             window_size=50.0, max_z=100.0, min_points=100,
+                             n_points=64, max_windows=2, hag_cell=2.0, seed=0,
+                             artifact_format="npz")) == 0
+    rc = cmd_train(ns(dataset_path=proc, task="segmentation", arch="attention",
+                      path_list_files=proc, out_path=str(tmp_path / "run"),
+                      number_of_points=64, number_of_windows=2, batch_size=2,
+                      epochs=1, learning_rate=1e-3, weighing_method="EFS",
+                      seed=0, model_checkpoint="", num_devices=1,
+                      bn_mode="batch", dtype="float32", grad_accum=1,
+                      device_cache="off", epoch_dispatch="off",
+                      oversample_factor=3, oversample_classes="1"))
+    assert rc == 0
+    assert "oversampling x3" in capsys.readouterr().err

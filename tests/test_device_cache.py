@@ -211,3 +211,36 @@ def test_maybe_device_cache_policy():
         DeviceCachedBatcher(mk(), limit_bytes=10)
     with pytest.raises(ValueError):
         maybe_device_cache(mk(), mode="bogus")
+
+
+def test_repeats_oversampling_host_and_cache_agree():
+    """PaddedBatcher.repeats (rare-class oversampling): sample i appears
+    repeats[i] times per epoch, batch counts follow the repeated total, the
+    device cache stores each sample ONCE but repeats the epoch ORDER, and both
+    sides draw the identical shuffled sequence (same seeded rng)."""
+    ds = _ListDataset(n_samples=5, n_points=16, max_w=2)
+    reps = np.array([1, 3, 1, 2, 1])
+    host = PaddedBatcher(ds, 2, n_points=16, max_windows=2, seed=3,
+                         prefetch=0, drop_last=False, repeats=reps)
+    assert len(host) == (reps.sum() + 1) // 2
+    names_host = [n for b in host for n in b["names"]]
+    from collections import Counter
+    c = Counter(n for n in names_host if not n.startswith("<pad:"))
+    assert c == {"s0": 1, "s1": 3, "s2": 1, "s3": 2, "s4": 1}
+
+    cached = DeviceCachedBatcher(
+        PaddedBatcher(ds, 2, n_points=16, max_windows=2, seed=3,
+                      prefetch=0, drop_last=False, repeats=reps))
+    # the cache holds each sample once; the epoch order repeats
+    assert len(cached.names) == len(ds)
+    assert len(cached) == len(host)
+    names_cache = [n for b in cached for n in b["names"]]
+    assert names_cache == names_host
+    # whole-epoch scan matrix covers the same repeated total
+    idxs, pads, _ = cached.epoch_index_matrix()
+    assert int((~pads).sum()) == int(reps.sum())
+
+    with pytest.raises(ValueError, match="repeats"):
+        PaddedBatcher(ds, 2, repeats=np.array([1, 2]))  # wrong length
+    with pytest.raises(ValueError, match="repeats"):
+        PaddedBatcher(ds, 2, repeats=np.zeros(5, int))  # non-positive

@@ -252,6 +252,39 @@ def test_mesh_sharded_serving_matches_single_device(inferencer):
         np.testing.assert_array_equal(a, b)
 
 
+def test_mesh_sharded_ensemble_matches_single_device(inferencer):
+    """EnsembleInferencer over mesh-sharded members: the cross-family wrapper
+    composes with TiledInferencer(mesh=...) — per-member programs shard the
+    cloud batch, the host-side mean is unchanged, so predictions must equal
+    the single-device ensemble exactly."""
+    from ampnet_tpu.infer.tiled import EnsembleInferencer
+    from ampnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(14)
+    cfg2 = AMPNetConfig(
+        data=DataConfig(n_points=128, max_clusters_test=3),
+        model=ModelConfig(dropout=0.0),
+    )
+    model2 = AMPNetSegmenter(cfg2.model)
+    pts = rng.normal(size=(1, 2, 128, 9)).astype(np.float32)
+    cent = rng.normal(size=(1, 2, 2)).astype(np.float32)
+    v2 = model2.init(jax.random.PRNGKey(21), pts, cent, None)
+
+    clouds = [make_cloud(rng, n)[0] for n in (700, 450, 900)]
+    single = EnsembleInferencer(
+        [inferencer, TiledInferencer(model2, v2, cfg2)]
+    ).predict_many(clouds)
+    mesh = make_mesh(8)
+    sharded = EnsembleInferencer([
+        TiledInferencer(inferencer.model, inferencer.variables, inferencer.cfg,
+                        max_clusters=6, mesh=mesh),
+        TiledInferencer(model2, v2, cfg2, mesh=mesh),
+    ])
+    multi = sharded.predict_many(clouds)
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_whole_cloud_eval_for_single_window_models():
     """Non-windowed archs (baseline/classic/pointnet2) evaluate the WHOLE cloud
     (reference baseline tester semantics, test_segmentation.py batch-1 full

@@ -636,8 +636,12 @@ def cmd_test(args) -> int:
         model_name=ckpt_name,
         plot_dir=os.path.join(args.out_path, "plots") if args.plot else None,
         tta=getattr(args, "tta", 1),
+        analysis_dir=args.out_path if getattr(args, "analysis", False) else None,
     )
     print(json.dumps(out["summary"], indent=2))
+    if "analysis" in out:
+        print(f"error analysis -> {os.path.join(args.out_path, 'analysis.json')}",
+              file=sys.stderr)
     return 0
 
 
@@ -1065,6 +1069,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="test-time augmentation: average class probabilities "
                         "over N dihedral transforms per cloud (4 = the 90-"
                         "degree rotations, 8 = + mirrors); 1 = off")
+    s.add_argument("--analysis", action="store_true",
+                   help="write analysis.json + confusion.png: per-class "
+                        "precision/recall, boundary-vs-interior error "
+                        "attribution, worst clouds per class")
     s.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("export", help="export a trained checkpoint to the "

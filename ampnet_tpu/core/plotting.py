@@ -237,6 +237,41 @@ def plot_class_counts(
     return fig
 
 
+def plot_confusion(
+    cm: np.ndarray,
+    class_names: Sequence[str] = SEG_CLASS_NAMES,
+    title: Optional[str] = None,
+    save_to: Optional[str] = None,
+):
+    """Row-normalized confusion heatmap (recall view) with raw counts annotated.
+    Companion to infer.analysis — the reference has no confusion surface at all
+    (per-class IoU prints only, test_pointnet_att_segmen.py:186-219)."""
+    cm = np.asarray(cm, dtype=np.float64)
+    names = list(class_names)[: cm.shape[0]]
+    row_sum = cm.sum(axis=1, keepdims=True)
+    norm = np.divide(cm, row_sum, out=np.zeros_like(cm), where=row_sum > 0)
+    fig, ax = plt.subplots(figsize=(6, 5), tight_layout=True)
+    im = ax.imshow(norm, vmin=0.0, vmax=1.0, cmap="Blues")
+    fig.colorbar(im, ax=ax, label="fraction of ground-truth class")
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=30, ha="right")
+    ax.set_yticks(range(len(names)))
+    ax.set_yticklabels(names)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("ground truth")
+    for i in range(len(names)):
+        for j in range(len(names)):
+            ax.text(j, i, f"{int(cm[i, j]):,}", ha="center", va="center",
+                    fontsize=7, color="white" if norm[i, j] > 0.5 else "black")
+    if title:
+        ax.set_title(title)
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        return save_to
+    return fig
+
+
 def log_histogram_to_tensorboard(logger, tag: str, values: np.ndarray, step: int) -> None:
     """Native TB histogram through a MetricsLogger's writer (the reference calls
     plt.hist + savefig; TB's add_histogram is the idiomatic equivalent)."""

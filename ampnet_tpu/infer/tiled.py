@@ -551,6 +551,7 @@ def evaluate_dataset(
     plot_limit: int = 8,
     chunk_size: int = 16,
     tta: int = 1,
+    analysis_dir: Optional[str] = None,
 ) -> Dict:
     """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
     summary (mirrors the reference CSV machinery, test_pointnet_att_segmen.py:272-284).
@@ -563,13 +564,22 @@ def evaluate_dataset(
 
     ``tta > 1`` averages class probabilities over that many dihedral transforms
     per cloud (``TiledInferencer.predict_tta`` semantics); the chunk shrinks so
-    chunk × tta stays within the device-batch budget."""
+    chunk × tta stays within the device-batch budget.
+
+    ``analysis_dir`` enables the error-analysis accumulator (infer.analysis):
+    boundary-vs-interior error attribution, per-class precision/recall and
+    worst-cloud lists, written as ``analysis.json`` + ``confusion.png``."""
     num_classes = inferencer.cfg.model.num_classes
     tta = int(tta)
     if not 1 <= tta <= 8:
         raise ValueError(f"tta must be in 1..8 (dihedral period), got {tta}")
     if tta > 1:
         chunk_size = max(1, chunk_size // tta)
+    analyzer = None
+    if analysis_dir:
+        from ampnet_tpu.infer.analysis import ErrorAnalysisAccumulator
+
+        analyzer = ErrorAnalysisAccumulator(num_classes)
     rows: List[Dict] = []
     total_cm = np.zeros((num_classes, num_classes))
     gt_counts = np.zeros(num_classes, np.int64)
@@ -595,6 +605,9 @@ def evaluate_dataset(
         for i, (sample, preds) in enumerate(zip(chunk, chunk_preds), start=start):
             m = evaluate_cloud(preds, sample["labels"], num_classes)
             total_cm += m.pop("confusion")
+            if analyzer is not None:
+                analyzer.update(sample["name"], sample["points"],
+                                sample["labels"], preds)
             n_points_total += len(preds)
             rows.append({"name": sample["name"], **m})
             if plot_dir:
@@ -655,6 +668,13 @@ def evaluate_dataset(
             save_to=os.path.join(plot_dir, "class_counts.png"),
             title=f"{model_name}: dataset class balance (GT vs predicted)",
         )
+    result = {"summary": summary, "per_cloud": rows}
+    if analyzer is not None:
+        from ampnet_tpu.infer.analysis import write_analysis
+
+        report = analyzer.finalize()
+        write_analysis(report, analysis_dir)
+        result["analysis"] = report
     if out_csv:
         append_results_csv(out_csv, summary)
-    return {"summary": summary, "per_cloud": rows}
+    return result

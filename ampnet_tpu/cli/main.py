@@ -120,6 +120,8 @@ def cmd_preprocess(args) -> int:
         max_z=args.max_z, min_points=args.min_points, n_points=args.n_points,
         max_windows=args.max_windows, hag_cell=args.hag_cell,
         artifact_format=args.artifact_format, assigner=assigner,
+        geom_features=getattr(args, "geom_features", False),
+        geom_k=getattr(args, "geom_k", 24),
     )
     produced, errors = run_pipeline(tiles, params, workers=workers)
     n_failed = len(errors)
@@ -171,12 +173,20 @@ def _load_lists(path_list_files: str, task: str):
 def _build_cfg(args):
     from ampnet_tpu.core.config import AMPNetConfig, DataConfig, ModelConfig, TrainConfig
 
+    from ampnet_tpu.preproc.geomfeat import N_GEOM_FEATURES
+
     return AMPNetConfig(
-        data=DataConfig(n_points=args.number_of_points, max_windows=args.number_of_windows),
+        data=DataConfig(
+            n_points=args.number_of_points, max_windows=args.number_of_windows,
+            extra_features=N_GEOM_FEATURES
+            if getattr(args, "geom_features", False) else 0,
+        ),
         model=ModelConfig(
             context="attention" if args.arch == "attention" else args.arch,
             bn_mode=getattr(args, "bn_mode", "batch"),
             dtype=None if getattr(args, "dtype", "float32") == "float32" else args.dtype,
+            local_agg=getattr(args, "local_agg", "none") or "none",
+            local_agg_k=getattr(args, "local_agg_k", 16) or 16,
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -314,7 +324,7 @@ def cmd_train(args) -> int:
         return 1
 
     windowed = args.arch in ("attention", "gru")
-    mk_kw = dict(task=args.task)
+    mk_kw = dict(task=args.task, extra_features=cfg.data.extra_features)
     if windowed and getattr(args, "reference_noise_compat", False):
         # reproduce the reference's training-data bug: class 14 (power lines)
         # dropped from TRAINING while still evaluated at test time
@@ -594,13 +604,15 @@ def cmd_test(args) -> int:
         # must follow it (a baseline cls checkpoint tested without --arch
         # would otherwise get multi-window batches for a single-window model)
         if cfg.model.context in ("attention", "gru"):
-            ds = WindowedCloudDataset(args.dataset_path, files, task="classification")
+            ds = WindowedCloudDataset(args.dataset_path, files, task="classification",
+                                      extra_features=cfg.data.extra_features)
             batcher = PaddedBatcher(ds, 4, n_points=cfg.data.n_points,
                                     max_windows=cfg.data.max_windows,
                                     shuffle=False, drop_last=False)
         else:
             ds = CloudDataset(args.dataset_path, files, task="classification",
-                              number_of_points=cfg.data.n_points)
+                              number_of_points=cfg.data.n_points,
+                              extra_features=cfg.data.extra_features)
             batcher = SingleCloudBatcher(ds, 4, n_points=cfg.data.n_points,
                                          shuffle=False, drop_last=False)
         _, eval_step = make_cls_step_fns(cfg)
@@ -615,7 +627,12 @@ def cmd_test(args) -> int:
     from ampnet_tpu.data.datasets import EvalCloudDataset
     from ampnet_tpu.infer.tiled import evaluate_dataset
 
-    ds = EvalCloudDataset(args.dataset_path, files)
+    if len({c.data.extra_features for c, _, _ in groups}) > 1:
+        print("ensemble members disagree on extra_features (geom columns); "
+              "mix only models trained on the same input schema", file=sys.stderr)
+        return 1
+    ds = EvalCloudDataset(args.dataset_path, files,
+                          extra_features=cfg.data.extra_features)
     backend = getattr(args, "backend", "xla")
     if backend != "xla" and any(c.model.context != "attention"
                                 for c, _, _ in groups):
@@ -653,6 +670,11 @@ def cmd_infer(args) -> int:
     if restored is None:
         return 1
     groups, ckpt_name = restored
+    if len({c.data.extra_features for c, _, _ in groups}) > 1:
+        print("ensemble members disagree on extra_features (geom columns); "
+              "mix only models trained on the same input schema", file=sys.stderr)
+        return 1
+    extra_features = groups[0][0].data.extra_features
     backend = getattr(args, "backend", "xla")
     if backend != "xla" and any(c.model.context != "attention"
                                 for c, _, _ in groups):
@@ -700,7 +722,8 @@ def cmd_infer(args) -> int:
     chunk_size = max(1, 16 // tta)
     for start in range(0, len(ds), chunk_size):
         chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]
-        feats = [normalize_xy_neg_one(select_model_features(s["points"])) for s in chunk]
+        feats = [normalize_xy_neg_one(select_model_features(s["points"], extra_features))
+                 for s in chunk]
         if tta > 1:
             from ampnet_tpu.infer.tiled import tta_ensemble
 
@@ -955,6 +978,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--artifact_format", choices=["npz", "pt"], default="npz",
                    help="kmeans artifact format (.pt = reference-compatible torch)")
+    s.add_argument("--geom_features", action="store_true",
+                   help="append per-point covariance eigenfeatures (linearity/"
+                        "planarity/scatter/verticality/axis_z/radius) computed "
+                        "at FULL pre-subsampling density as columns 13..18 — "
+                        "pair with `train --geom_features`")
+    s.add_argument("--geom_k", type=int, default=24,
+                   help="k-NN neighborhood size for --geom_features")
     s.add_argument("--workers", type=int, default=1,
                    help="host process-pool size over tiles (the reference's "
                         "mp.Pool preprocessing parallelism); pooled runs use "
@@ -1001,6 +1031,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel device count (batch axis sharded over a Mesh)")
     s.add_argument("--bn_mode", choices=["batch", "window"], default="batch",
                    help="'window' = per-window (instance-norm-style) statistics")
+    s.add_argument("--local_agg", choices=["none", "edge"], default="none",
+                   help="kNN edge-feature aggregation in the window encoder "
+                        "('edge' = DGCNN-style residual block; boundary-aware "
+                        "local context beyond the reference trunk)")
+    s.add_argument("--local_agg_k", type=int, default=16,
+                   help="neighbors per point for --local_agg edge")
+    s.add_argument("--geom_features", action="store_true",
+                   help="feed the offline geometric eigenfeature columns "
+                        "(dataset must be preprocessed with `preprocess "
+                        "--geom_features`); carried in checkpoint meta so "
+                        "test/infer pick them up automatically")
     s.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batches per optimizer update (memory lever for "
                         "large batches; batch_size must divide evenly)")

@@ -36,6 +36,11 @@ class DataConfig:
     # number of input features fed to the model: [x,y,z,I,R,G,B,NIR,NDVI]
     # (datasets.py:359 drops col 3 = class from the 13/11-col array)
     num_features: int = 9
+    # offline geometric eigenfeature columns appended after the 9 model
+    # features (preproc/geomfeat.py via `ampnet preprocess --geom_features`;
+    # 0 = the reference feature set). Carried in checkpoint meta so test/infer
+    # rebuild the same input schema automatically.
+    extra_features: int = 0
     # ASPRS-ish classes dropped at dataset load. NOTE: the reference also drops 14
     # (power lines) here, which makes the cables class unlearnable — see
     # data/schema.py DATASET_NOISE_CLASSES for the full account
@@ -88,6 +93,13 @@ class ModelConfig:
     # traffic; recomputing them trades a cheap MXU-bound extra forward for
     # gigabytes of reads (jax.checkpoint / nn.remat)
     remat: bool = False
+    # kNN edge-feature aggregation inside the window encoder: 'none' keeps the
+    # reference's pointwise trunk (pointnetAtt.py:88-96); 'edge' adds a
+    # DGCNN-style residual block (models/amp.py::EdgeLocalAggregation) that
+    # targets the boundary errors the round-3 anatomy attributes ~72 % of
+    # remaining tower mistakes to (BASELINE.md "Error anatomy")
+    local_agg: str = "none"
+    local_agg_k: int = 16
 
 
 @dataclass(frozen=True)

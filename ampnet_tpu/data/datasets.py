@@ -54,9 +54,12 @@ class WindowedCloudDataset:
         noise_classes: Sequence[int] = S.DATASET_NOISE_CLASSES,
         prefix: str = "kmeans_",
         suffix: str = ".pt",
+        extra_features: int = 0,
     ):
         self.task = task
         self.noise_classes = tuple(noise_classes)
+        # offline geometric eigenfeature columns 13.. (preproc --geom_features)
+        self.extra_features = int(extra_features)
         names = [os.path.splitext(f)[0] for f in files]
         self.paths = [os.path.join(dataset_folder, prefix + n + suffix) for n in names]
         # tolerate artifacts saved in our npz format under the same naming scheme
@@ -73,7 +76,19 @@ class WindowedCloudDataset:
 
         raw_cls = pc[:, S.COL.CLASS, :]  # [N, W]
         labels = np.asarray(S.remap_segmentation_labels(raw_cls))  # [N, W]
-        feats = np.concatenate([pc[:, 0:3, :], pc[:, 4:10, :]], axis=1)  # [N, 9, W]
+        # [N, 9(+G), W] — same selection as schema.select_model_features but on
+        # the windowed [N, dims, W] artifact layout
+        parts = [pc[:, 0:3, :], pc[:, 4:10, :]]
+        if self.extra_features:
+            end = S.NUM_CANONICAL_COLS + self.extra_features
+            if pc.shape[1] < end:
+                raise ValueError(
+                    f"{self.paths[index]}: artifact has {pc.shape[1]} columns but "
+                    f"the model wants {self.extra_features} geometric feature "
+                    "columns — re-run `ampnet preprocess --geom_features`"
+                )
+            parts.append(pc[:, S.NUM_CANONICAL_COLS:end, :])
+        feats = np.concatenate(parts, axis=1)
         feats[:, 0, :] = feats[:, 0, :] * 2 - 1
         feats[:, 1, :] = feats[:, 1, :] * 2 - 1
 
@@ -110,6 +125,7 @@ class CloudDataset:
         fixed_num_points: bool = True,
         constrained_sample: bool = False,
         seed: int = 0,
+        extra_features: int = 0,
     ):
         self.folder = dataset_folder
         self.files = list(files)
@@ -117,6 +133,7 @@ class CloudDataset:
         self.task = task
         self.n_points = number_of_points
         self.feature_mode = feature_mode
+        self.extra_features = int(extra_features)
         self.fixed_num_points = fixed_num_points
         # legacy 11-column artifacts carry a sampling flag in column 10
         # (datasets.py:77 `pc[pc[:, 10] == 1]`); the 13-column schema stores
@@ -149,7 +166,7 @@ class CloudDataset:
         labels = np.asarray(S.remap_segmentation_labels(raw_cls))
 
         if self.feature_mode == "nine":
-            feats = np.concatenate([pc[:, 0:3], pc[:, 4:10]], axis=1)
+            feats = np.asarray(S.select_model_features(pc, self.extra_features))
             feats[:, 0] = feats[:, 0] * 2 - 1
             feats[:, 1] = feats[:, 1] * 2 - 1
         else:  # 'seven' (datasets.py:63)
@@ -173,16 +190,18 @@ class EvalCloudDataset:
     """Variable-size clouds for evaluation: 9 normalized features + raw class column
     (LidarDataset4Test, datasets.py:463-515)."""
 
-    def __init__(self, dataset_folder: str, files: Sequence[str]):
+    def __init__(self, dataset_folder: str, files: Sequence[str],
+                 extra_features: int = 0):
         self.files = list(files)
         self.paths = [os.path.join(dataset_folder, f) for f in self.files]
+        self.extra_features = int(extra_features)
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pc = load_cloud(self.paths[index])
-        feats = np.concatenate([pc[:, 0:3], pc[:, 4:10]], axis=1)
+        feats = np.asarray(S.select_model_features(pc, self.extra_features))
         feats[:, 0] = feats[:, 0] * 2 - 1
         feats[:, 1] = feats[:, 1] * 2 - 1
         labels = np.asarray(S.remap_segmentation_labels(pc[:, S.COL.CLASS]))

@@ -108,11 +108,26 @@ def classification_label(raw_class: Array) -> int:
     return has.astype(xp.int32)
 
 
-def select_model_features(pc: Array) -> Array:
+def select_model_features(pc: Array, extra_features: int = 0) -> Array:
     """Drop the class + raw-coordinate columns → the 9 model features
-    [x,y,z,I,R,G,B,NIR,NDVI] (datasets.py:359)."""
+    [x,y,z,I,R,G,B,NIR,NDVI] (datasets.py:359).
+
+    ``extra_features > 0`` additionally appends that many columns from 13
+    onward — the offline geometric eigenfeatures (preproc/geomfeat.py), a
+    beyond-reference feature set. Raises if the artifact was preprocessed
+    without them."""
     xp = _xp(pc)
-    return xp.concatenate([pc[..., 0:3], pc[..., 4:10]], axis=-1)
+    parts = [pc[..., 0:3], pc[..., 4:10]]
+    if extra_features:
+        end = NUM_CANONICAL_COLS + extra_features
+        if pc.shape[-1] < end:
+            raise ValueError(
+                f"artifact has {pc.shape[-1]} columns but the model wants "
+                f"{extra_features} geometric feature columns (13..{end - 1}) — "
+                "re-run `ampnet preprocess --geom_features` on this dataset"
+            )
+        parts.append(pc[..., NUM_CANONICAL_COLS:end])
+    return xp.concatenate(parts, axis=-1)
 
 
 def normalize_xy_neg_one(pc: Array) -> Array:

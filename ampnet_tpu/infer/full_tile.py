@@ -81,6 +81,18 @@ def predict_tile(
         assert len(kept_idx) == pc.shape[0]
 
         feats = np.concatenate([pc[:, 0:3], pc[:, 4:10]], axis=1)
+        extra = getattr(inferencer.cfg.data, "extra_features", 0)
+        if extra:
+            # geom-feature models: recompute the eigenfeatures at full window
+            # density from the metric columns, same as offline preprocessing
+            from ampnet_tpu.preproc.geomfeat import N_GEOM_FEATURES, geometric_features
+
+            if extra != N_GEOM_FEATURES:
+                raise ValueError(
+                    f"checkpoint wants {extra} geom columns, this build computes "
+                    f"{N_GEOM_FEATURES}")
+            xyz = np.stack([pc[:, 10], pc[:, 11], pc[:, 2] * max_z], axis=1)
+            feats = np.concatenate([feats, geometric_features(xyz)], axis=1)
         feats[:, 0] = feats[:, 0] * 2 - 1
         feats[:, 1] = feats[:, 1] * 2 - 1
         win_feats.append(feats.astype(np.float32))

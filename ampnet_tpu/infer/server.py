@@ -392,7 +392,10 @@ class PredictionService:
 
 
 def _feature_count(service: PredictionService) -> int:
-    return service.inferencer.cfg.data.num_features
+    # geom-feature checkpoints (cfg.data.extra_features > 0) expect the offline
+    # eigenfeature columns appended after the 9 model features on the wire too
+    cfg = service.inferencer.cfg.data
+    return cfg.num_features + getattr(cfg, "extra_features", 0)
 
 
 def make_handler(service: PredictionService, model_name: str):

@@ -58,6 +58,12 @@ def make_forward(
             f"bn_mode={cfg.model.bn_mode!r} models neither use nor update — "
             "use backend='xla' for window-mode BatchNorm"
         )
+    if getattr(cfg.model, "local_agg", "none") != "none":
+        raise ValueError(
+            f"backend {backend!r} reassembles the reference encoder layout and "
+            f"does not know the local_agg={cfg.model.local_agg!r} edge block — "
+            "use backend='xla' for edge-aggregation models"
+        )
 
     from ampnet_tpu.models.folded_infer import (
         attention_head_folded,

@@ -39,6 +39,11 @@ class PreprocessParams:
     # 'exact_mcf' (host solver, pool-safe) | 'sinkhorn' (jitted device path —
     # pair with workers=1; pooled workers would race for the accelerator)
     assigner: str = "exact_mcf"
+    # append per-point covariance eigenfeatures (preproc/geomfeat.py) as
+    # columns 13..18, computed at FULL pre-subsampling density — the
+    # boundary-aware feature lever the round-3 error anatomy calls for
+    geom_features: bool = False
+    geom_k: int = 24
 
 
 def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], Optional[str]]:
@@ -88,6 +93,15 @@ def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], O
         )
         if pc is None:
             continue
+        if params.geom_features:
+            from ampnet_tpu.preproc.geomfeat import geometric_features
+
+            # metric coordinates: raw x/y (cols 10, 11) + HAG in meters (col 2
+            # is HAG/max_z) — neighborhoods must be isotropic in space
+            xyz = np.stack(
+                [pc[:, 10], pc[:, 11], pc[:, 2] * params.max_z], axis=1
+            )
+            pc = np.concatenate([pc, geometric_features(xyz, k=params.geom_k)], axis=1)
         name = window_file_name(prefix, params.dataset, tile_name, w["window_id"])
         save_cloud(os.path.join(params.out_path, name + ".pkl"), pc)
         windowed = kmeans_tile_cloud(

@@ -69,6 +69,9 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         distill_alpha=0.5,
         distill_temp=2.0,
         reference_noise_compat=False,
+        local_agg="none",
+        local_agg_k=16,
+        geom_features=False,
     )
 
 
@@ -99,22 +102,37 @@ def run_one(family, seed, args):
 
     base, _, mod = family.partition("@")
     seg_weighing, focal_gamma, distill, oversample = "", 0.0, False, 1
-    if mod.startswith("focal"):
-        focal_gamma = float(mod[len("focal"):] or 2.0)
-    elif mod.startswith("kd"):
-        # knowledge-distillation arm: 'attention@kd' (alpha from --distill_*)
-        # or 'attention@kd0.7' (alpha override); teacher = --distill_from
-        distill = True
-    elif mod.startswith("os"):
-        # rare-class oversampling arm: 'attention@os4' = --oversample_factor 4
-        oversample = int(mod[len("os"):] or 4)
-    else:
-        seg_weighing = mod
+    local_agg, local_agg_k, geom = "none", 16, False
+    # mods combine with '+': 'attention@edge+geom' trains with both levers
+    for tok in (t for t in mod.split("+") if t):
+        if tok.startswith("focal"):
+            focal_gamma = float(tok[len("focal"):] or 2.0)
+        elif tok.startswith("edge"):
+            # boundary-aware local aggregation arm: 'attention@edge' or
+            # 'attention@edge24' (k override) — cli --local_agg edge
+            local_agg = "edge"
+            local_agg_k = int(tok[len("edge"):] or 16)
+        elif tok == "geom":
+            # offline eigenfeature columns — --data must point at a dataset
+            # preprocessed with `ampnet preprocess --geom_features`
+            geom = True
+        elif tok.startswith("kd"):
+            # knowledge-distillation arm: 'attention@kd' (alpha from
+            # --distill_*) or 'attention@kd0.7'; teacher = --distill_from
+            distill = True
+            mod = tok  # alpha suffix parsing below reads `mod`
+        elif tok.startswith("os"):
+            # rare-class oversampling arm: '@os4' = --oversample_factor 4
+            oversample = int(tok[len("os"):] or 4)
+        else:
+            seg_weighing = tok
     ta = train_args(base, seed, args.data, args.scratch, args.epochs,
                     args.batch_size, args.n_points, args.n_windows, args.dtype,
                     seg_weighing=seg_weighing)
     ta.focal_gamma = focal_gamma
     ta.oversample_factor = oversample
+    ta.local_agg, ta.local_agg_k = local_agg, local_agg_k
+    ta.geom_features = geom
     if distill:
         if not getattr(args, "distill_from", ""):
             return {"family": family, "seed": seed,

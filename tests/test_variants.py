@@ -89,3 +89,75 @@ def test_pointnet2_train_step(batch):
 def test_pointnet2_rejects_classification():
     with pytest.raises(ValueError):
         build_model(AMPNetConfig(), "pointnet2", "classification")
+
+
+class TestEdgeLocalAggregation:
+    """ModelConfig.local_agg='edge' — the boundary-aware kNN residual block
+    (models/amp.py::EdgeLocalAggregation, no reference counterpart)."""
+
+    def _cfg(self, **kw):
+        import dataclasses
+        return AMPNetConfig(model=dataclasses.replace(
+            ModelConfig(local_agg="edge", local_agg_k=8), **kw))
+
+    def test_train_step_under_jit(self, batch):
+        cfg = self._cfg()
+        model = build_model(cfg, "attention", "segmentation")
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
+                                   steps_per_epoch=1)
+        train_step, eval_step = make_step_fns(cfg, augment=True)
+        state, metrics = train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        _, preds = eval_step(state, batch)
+        assert preds.shape == batch["labels"].shape
+
+    def test_padded_point_invariance(self, batch):
+        """Padded points must be excluded from every neighborhood: scrambling
+        their coordinates cannot change real points' logits."""
+        cfg = self._cfg()
+        model = build_model(cfg, "attention", "segmentation")
+        pts = batch["points"]
+        pad = jnp.all(batch["labels"] == -1, axis=-1)  # [B, W]
+        pmask = jnp.ones(pts.shape[:3], bool).at[0, 0, 40:].set(False)
+        variables = model.init(jax.random.PRNGKey(0), pts, batch["centroids"],
+                               pad, pmask, train=False)
+        ref, _, _ = model.apply(variables, pts, batch["centroids"],
+                                pad, pmask, train=False)
+        scrambled = pts.at[0, 0, 40:].set(1e3)
+        out, _, _ = model.apply(variables, scrambled, batch["centroids"],
+                                pad, pmask, train=False)
+        np.testing.assert_allclose(np.asarray(out[0, 0, :40]),
+                                   np.asarray(ref[0, 0, :40]), atol=1e-5)
+
+    def test_default_tree_unchanged(self, batch):
+        """local_agg='none' (default) must keep the exact reference parameter
+        tree so pre-existing checkpoints restore unchanged."""
+        model = build_model(AMPNetConfig(), "attention", "segmentation")
+        v = model.init(jax.random.PRNGKey(0), batch["points"], batch["centroids"],
+                       None, train=False)
+        assert "edge_agg" not in v["params"]["encoder"]
+
+    def test_config_roundtrip_and_old_checkpoints(self):
+        cfg = self._cfg(local_agg_k=24)
+        rt = AMPNetConfig.from_json(cfg.to_json())
+        assert rt.model.local_agg == "edge" and rt.model.local_agg_k == 24
+        # meta.json written before the field existed -> default 'none'
+        import json
+        old = json.loads(AMPNetConfig().to_json())
+        del old["model"]["local_agg"], old["model"]["local_agg_k"]
+        back = AMPNetConfig.from_json(json.dumps(old))
+        assert back.model.local_agg == "none"
+
+    def test_folded_backends_reject(self):
+        from ampnet_tpu.models.backends import make_forward
+        cfg = self._cfg()
+        model = build_model(cfg, "attention", "segmentation")
+        with pytest.raises(ValueError, match="local_agg"):
+            make_forward(model, cfg, backend="folded")
+
+    def test_unknown_local_agg_rejects(self, batch):
+        cfg = self._cfg(local_agg="voxel")
+        model = build_model(cfg, "attention", "segmentation")
+        with pytest.raises(ValueError, match="local_agg"):
+            model.init(jax.random.PRNGKey(0), batch["points"], batch["centroids"],
+                       None, train=False)

@@ -913,6 +913,7 @@ def cmd_demo(args) -> int:
         dataset="SYNTH", window_size=100.0, max_z=100.0, min_points=256,
         n_points=args.number_of_points, max_windows=5, hag_cell=2.0, seed=0,
         artifact_format="npz",
+        geom_features=getattr(args, "geom_features", False),
     )
     if cmd_preprocess(b):
         return 1
@@ -924,6 +925,7 @@ def cmd_demo(args) -> int:
         number_of_windows=5, batch_size=2, epochs=args.epochs,
         learning_rate=1e-3, weighing_method="EFS", seed=0, model_checkpoint="",
         num_devices=1,
+        geom_features=getattr(args, "geom_features", False),
     )
     if cmd_train(c):
         return 1
@@ -1196,6 +1198,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--points_per_window", type=int, default=6000)
     s.add_argument("--number_of_points", type=int, default=512)
     s.add_argument("--epochs", type=int, default=3)
+    s.add_argument("--geom_features", action="store_true",
+                   help="drive the full-density eigenfeature lever end-to-end "
+                        "(preprocess --geom_features + train --geom_features; "
+                        "+11 mIoU on the hard benchmark, BASELINE.md)")
     s.set_defaults(fn=cmd_demo)
     return p
 

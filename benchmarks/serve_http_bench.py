@@ -31,12 +31,17 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--dtype", default="float16", choices=["float32", "float16"])
+    ap.add_argument("--features", type=int, default=9,
+                    help="wire columns per point — must match the served "
+                         "checkpoint (9 plain, 15 for --geom_features models; "
+                         "the server's /healthz does not expose it, check the "
+                         "checkpoint)")
     args = ap.parse_args()
     base = f"http://{args.host}:{args.port}"
 
     rng = np.random.default_rng(0)
     clouds = [
-        rng.normal(size=(args.points, 9)).astype(args.dtype)
+        rng.normal(size=(args.points, args.features)).astype(args.dtype)
         for _ in range(args.clouds)
     ]
 

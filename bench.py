@@ -33,11 +33,115 @@ def _enable_compile_cache():
     remote relay is minutes; cached recompiles are seconds. The axon plugin imports
     jax during interpreter startup, so the JAX_COMPILATION_CACHE_DIR env var is read
     too early — the config must be updated at runtime (the plugin's compile hook
-    then uses the same cache dir for its executable sidechannel)."""
+    then uses the same cache dir for its executable sidechannel).
+
+    Reads are always on; WRITES are opt-in (``AMPNET_BENCH_POPULATE=1``). Writing a
+    cache entry through this relay serializes the executable back from the remote
+    compile service — measured to inflate a cold compile 83→418 s (round 2) and to
+    ~700–800 s at this program size (round 3: the builder preflight AND the driver
+    run both paid it, BENCH_r03 compile_s 809). With writes off, a cache miss costs
+    only the plain relay compile; the builder preflights once with POPULATE=1 so
+    the driver's run hits."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    populate = bool(os.environ.get("AMPNET_BENCH_POPULATE"))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1.0 if populate else 1e18
+    )
+
+
+def _start_cache_diag() -> dict:
+    """Capture WHY the persistent cache hits or misses, into the stderr detail.
+
+    Round-3 forensics (VERDICT r3 weak #1): the driver's bench run hit the
+    builder's jit_train_step cache entries but missed jit_forward — an
+    unexplained per-program key difference, three rounds without a clean
+    artifact. jax logs the per-component key hashes (computation / jax_lib
+    version / XLA flags / compile_options / accelerator config) at DEBUG on
+    ``jax._src.cache_key`` immediately before each program's HIT/MISS line on
+    ``jax._src.compiler``; parsing the stream per program makes the next miss
+    diffable instead of a mystery: compare ``programs[name]["components"]``
+    across two artifacts and the first differing hash names the culprit."""
+    import logging
+    import re
+
+    diag = {
+        "programs": {},
+        "write_notes": [],
+        "cache_dir_before": _cache_dir_snapshot(),
+    }
+    pending: dict = {}
+    pat_comp = re.compile(r"get_cache_key hash of serialized ([\w ]+): ([0-9a-f]+)")
+    pat_res = re.compile(
+        r"(?:PERSISTENT COMPILATION CACHE (MISS)|Persistent compilation cache "
+        r"(hit)) for '([^']+)' with key '([^']+)'"
+    )
+    pat_write = re.compile(
+        r"(Writing .* to persistent compilation cache with key.*"
+        r"|Not writing persistent cache entry.*)"
+    )
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return
+            m = pat_comp.search(msg)
+            if m:
+                pending[m.group(1)] = m.group(2)
+                return
+            m = pat_res.search(msg)
+            if m:
+                name = m.group(3)
+                diag["programs"][name] = {
+                    "result": "MISS" if m.group(1) else "HIT",
+                    "key": m.group(4),
+                    "components": dict(pending),
+                }
+                pending.clear()
+                return
+            m = pat_write.search(msg)
+            if m and len(diag["write_notes"]) < 40:
+                diag["write_notes"].append(m.group(1)[:200])
+
+    handler = _Capture(level=logging.DEBUG)
+    for name in ("jax._src.cache_key", "jax._src.compilation_cache",
+                 "jax._src.compiler"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(handler)
+        lg.propagate = False  # keep DEBUG records out of raw stderr
+    return diag
+
+
+def _cache_dir_snapshot() -> dict:
+    cache = os.path.join(REPO, ".jax_cache")
+    out = {}
+    if os.path.isdir(cache):
+        for f in sorted(os.listdir(cache)):
+            if f.startswith(("jit_forward", "jit_train_step")):
+                st = os.stat(os.path.join(cache, f))
+                out[f] = {"mtime": int(st.st_mtime), "bytes": st.st_size}
+    return out
+
+
+def _finish_cache_diag(diag: dict) -> dict:
+    diag["cache_dir_after"] = _cache_dir_snapshot()
+    # keep the artifact readable: only the headline programs carry full
+    # component hashes (dozens of tiny jit_* helpers would drown them)
+    full = {n for n in diag["programs"] if n in ("jit_forward", "jit_train_step")}
+    diag["programs"] = {
+        n: (v if n in full else {"result": v["result"]})
+        for n, v in diag["programs"].items()
+    }
+    diag["env"] = {
+        k: os.environ.get(k, "")
+        for k in ("XLA_FLAGS", "LIBTPU_INIT_ARGS", "JAX_PLATFORMS",
+                  "AMPNET_BENCH_POPULATE", "AMPNET_BACKEND")
+    }
+    return diag
 
 
 _enable_compile_cache()
@@ -133,29 +237,39 @@ def measure_tpu(iters: int = 30) -> dict:
         carry = forward(variables, pts, cent, pad, carry)
     float(carry)
 
-    # latency mode: each step's input depends on the previous step's output, so
-    # host dispatch and device execution fully serialize
-    t0 = time.perf_counter()
-    carry = zero
-    for _ in range(iters):
-        carry = forward(variables, pts, cent, pad, carry)
-    float(carry)  # single host fetch closes the timed region
-    lat_dt = (time.perf_counter() - t0) / iters
+    # 3 interleaved latency/throughput repeats (VERDICT r3 weak #6): a single
+    # 30-iter window cannot distinguish a real regression from relay variance;
+    # interleaving the modes spreads both across any slow phase of the transport.
+    lat_reps, thr_reps = [], []
+    for _ in range(3):
+        # latency mode: each step's input depends on the previous step's output,
+        # so host dispatch and device execution fully serialize
+        t0 = time.perf_counter()
+        carry = zero
+        for _ in range(iters):
+            carry = forward(variables, pts, cent, pad, carry)
+        float(carry)  # single host fetch closes the timed region
+        lat_reps.append((time.perf_counter() - t0) / iters)
 
-    # throughput mode: independent steps enqueue back-to-back; the device executes
-    # launches in order, so fetching the LAST result bounds all of them, while
-    # host dispatch overlaps device execution (the serving steady state)
-    t0 = time.perf_counter()
-    outs = [forward(variables, pts, cent, pad, zero) for _ in range(iters)]
-    float(outs[-1])
-    thr_dt = (time.perf_counter() - t0) / iters
+        # throughput mode: independent steps enqueue back-to-back; the device
+        # executes launches in order, so fetching the LAST result bounds all of
+        # them, while host dispatch overlaps device execution (serving steady state)
+        t0 = time.perf_counter()
+        outs = [forward(variables, pts, cent, pad, zero) for _ in range(iters)]
+        float(outs[-1])
+        thr_reps.append((time.perf_counter() - t0) / iters)
 
+    thr_dt = float(np.median(thr_reps))
+    lat_dt = float(np.median(lat_reps))
     per_step_windows = BATCH * WINDOWS
     return {
         "windows_per_sec": per_step_windows / thr_dt,
         "points_per_sec": per_step_windows * POINTS / thr_dt,
         "throughput_step_ms": thr_dt * 1e3,
         "latency_step_ms": lat_dt * 1e3,
+        "throughput_rep_ms": [round(d * 1e3, 4) for d in thr_reps],
+        "latency_rep_ms": [round(d * 1e3, 4) for d in lat_reps],
+        "windows_per_sec_reps": [round(per_step_windows / d, 1) for d in thr_reps],
         "compile_s": compile_s,
         "backend": backend,
         "device": str(jax.devices()[0]),
@@ -213,6 +327,7 @@ def measure_train(iters: int = 12) -> dict:
 
 
 def main():
+    diag = _start_cache_diag()
     baseline = get_baseline()
     tpu = measure_tpu()
     try:
@@ -225,6 +340,7 @@ def main():
         "tpu": tpu,
         "tpu_train": train,
         "baseline_cpu_torch": baseline,
+        "cache_diag": _finish_cache_diag(diag),
     }
     sys.stderr.write(json.dumps(detail, indent=2) + "\n")
     print(

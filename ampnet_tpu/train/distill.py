@@ -42,7 +42,7 @@ def make_teacher_fn(
     trace as constants."""
     entries = []
     total = 0
-    for _, model, variables in groups:
+    for g_cfg, model, variables in groups:
         if isinstance(variables, (list, tuple)):
             if len(variables) == 1:
                 variables, m = variables[0], 1
@@ -54,7 +54,13 @@ def make_teacher_fn(
                 )
         else:
             m = 1
-        entries.append((model, variables, m))
+        # per-group input width: a --geom_features teacher reads the 6 extra
+        # eigenfeature columns while a plain co-teacher (or the student) reads
+        # only the first 9 — the batch carries the WIDEST schema and each
+        # consumer slices its own prefix (canonical column order, geom cols
+        # appended last: preproc/geomfeat.py)
+        width = int(g_cfg.data.num_features + g_cfg.data.extra_features)
+        entries.append((model, variables, m, width))
         total += m
     if total == 0:
         raise ValueError("distillation teacher needs at least one member")
@@ -67,10 +73,18 @@ def make_teacher_fn(
     ) -> jnp.ndarray:
         t = jnp.float32(temperature)
         acc = 0.0
-        for model, variables, m in entries:
-            def one(v):
-                logits, _, _ = model.apply(
-                    v, points, centroids, pad_mask, point_mask, train=False
+        for model, variables, m, width in entries:
+            if points.shape[-1] < width:
+                raise ValueError(
+                    f"teacher expects {width} feature columns but the batch "
+                    f"carries {points.shape[-1]} — train on a dataset "
+                    "preprocessed with the teacher's --geom_features setting"
+                )
+            pts = points[..., :width]
+
+            def one(v, _m=model, _p=pts):
+                logits, _, _ = _m.apply(
+                    v, _p, centroids, pad_mask, point_mask, train=False
                 )
                 return jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
 

@@ -67,9 +67,17 @@ def create_train_state(
     apply_fn: Optional[Callable] = None,
 ) -> AMPTrainState:
     init_rng, state_rng = jax.random.split(rng)
+    # mixed-width distillation: the batch may carry a wider schema than this
+    # model consumes (geom teacher columns); init with the model's own prefix
+    # so the student's first layer has its configured width (train/step.py
+    # _forward slices identically)
+    points = sample_batch["points"]
+    width = int(cfg.data.num_features + cfg.data.extra_features)
+    if points.shape[-1] > width:
+        points = points[..., :width]
     variables = model.init(
         {"params": init_rng, "dropout": init_rng},
-        sample_batch["points"],
+        points,
         sample_batch.get("centroids"),
         sample_batch.get("window_pad_mask"),
         train=False,

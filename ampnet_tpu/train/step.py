@@ -54,9 +54,16 @@ def _forward(state, params, batch_stats, batch, cfg: AMPNetConfig, train, dropou
         pad_mask = window_pad_mask_from_labels(batch["labels"])
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    # mixed-width distillation: when a --geom_features teacher widens the
+    # batch schema beyond this model's own feature set, the student reads its
+    # prefix (canonical order — geom eigenfeature columns are appended last)
+    points = batch["points"]
+    width = int(cfg.data.num_features + cfg.data.extra_features)
+    if points.shape[-1] > width:
+        points = points[..., :width]
     out = state.apply_fn(
         variables,
-        batch["points"],
+        points,
         batch.get("centroids"),
         pad_mask,
         batch.get("point_mask"),

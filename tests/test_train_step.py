@@ -467,3 +467,76 @@ def test_distill_alpha_validation(cfg, setup):
                        train=TrainConfig(distill_alpha=0.0))
     with pytest.raises(ValueError, match="distill_alpha"):
         make_step_fns(bad, teacher=_teacher_groups(bad, batch))
+
+
+def test_distill_mixed_width_geom_teacher_plain_student():
+    """A --geom_features teacher (15-col input) distills into a plain 9-col
+    student: the batch carries the teacher's wide schema, the student inits
+    and forwards on its 9-column prefix (train/step.py::_forward,
+    train/state.py::create_train_state), the teacher reads all 15
+    (train/distill.py per-group width) — the compress-the-geom-ensemble
+    recipe (VERDICT r3 #3)."""
+    from ampnet_tpu.core.config import DataConfig
+
+    rng = np.random.default_rng(3)
+    batch9 = synthetic_batch(rng, 2, 3, 64)
+    geom = rng.uniform(size=batch9["points"].shape[:-1] + (6,)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch9.items()}
+    batch["points"] = jnp.asarray(
+        np.concatenate([batch9["points"], geom], axis=-1))
+    assert batch["points"].shape[-1] == 15
+
+    cfg_teacher = AMPNetConfig(
+        model=ModelConfig(dropout=0.0), data=DataConfig(extra_features=6),
+        train=TrainConfig(learning_rate=5e-3, distill_alpha=0.5,
+                          distill_temp=2.0),
+    )
+    cfg_student = AMPNetConfig(
+        model=ModelConfig(dropout=0.0), data=DataConfig(extra_features=0),
+        train=TrainConfig(learning_rate=5e-3, distill_alpha=0.5,
+                          distill_temp=2.0),
+    )
+    teacher = _teacher_groups(cfg_teacher, batch)
+    model = AMPNetSegmenter(cfg_student.model)
+    state = create_train_state(cfg_student, model, jax.random.PRNGKey(0),
+                               batch, steps_per_epoch=1)
+    # the student's first encoder layer must have the 9-column width, not 15
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    kernels = {jax.tree_util.keystr(p): v.shape for p, v in flat
+               if v.ndim == 2}
+    assert not any(s[0] == 15 for s in kernels.values()), kernels
+    train_step, eval_step = make_step_fns(cfg_student, augment=True,
+                                          teacher=teacher)
+    state, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["distill_loss"]))
+    m, _preds = eval_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_distill_teacher_wider_than_batch_raises():
+    """A geom teacher on a plain 9-column batch must fail loudly with the
+    re-preprocess hint, not silently mis-slice."""
+    from ampnet_tpu.core.config import DataConfig
+
+    rng = np.random.default_rng(4)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, 1, 2, 32).items()}
+    cfg_teacher = AMPNetConfig(
+        model=ModelConfig(dropout=0.0), data=DataConfig(extra_features=6),
+        train=TrainConfig(distill_alpha=0.5),
+    )
+    # teacher variables must be built at its OWN width for the error to be
+    # about the batch, so init on a widened copy of the batch
+    wide = jnp.concatenate(
+        [batch["points"],
+         jnp.zeros(batch["points"].shape[:-1] + (6,), jnp.float32)], axis=-1)
+    model = AMPNetSegmenter(cfg_teacher.model)
+    v = model.init(jax.random.PRNGKey(1), wide, batch["centroids"], None)
+    step, _ = make_step_fns(cfg_teacher, augment=False,
+                            teacher=[(cfg_teacher, model, v)])
+    model_s = AMPNetSegmenter(cfg_teacher.model)
+    state = create_train_state(
+        AMPNetConfig(model=ModelConfig(dropout=0.0)), model_s,
+        jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    with pytest.raises(ValueError, match="teacher expects 15"):
+        step(state, batch)

@@ -324,7 +324,24 @@ def cmd_train(args) -> int:
         return 1
 
     windowed = args.arch in ("attention", "gru")
-    mk_kw = dict(task=args.task, extra_features=cfg.data.extra_features)
+    # the batch carries the WIDEST schema any consumer needs: a
+    # --geom_features teacher distilling into a plain student widens the
+    # loaded columns to 15 while the student slices its 9-column prefix
+    # (train/step.py::_forward, train/distill.py) — the compress-the-geom-
+    # ensemble recipe: teacher quality without the student's serving paying
+    # for the extra columns
+    batch_extra = cfg.data.extra_features
+    if teacher is not None:
+        teacher_extra = max(
+            int(t_cfg.data.extra_features) for t_cfg, _, _ in teacher
+        )
+        if teacher_extra > batch_extra:
+            batch_extra = teacher_extra
+            print(f"teacher reads {teacher_extra} extra geom columns; loading "
+                  f"them for the teacher while the student trains on its own "
+                  f"{9 + cfg.data.extra_features}-column schema",
+                  file=sys.stderr)
+    mk_kw = dict(task=args.task, extra_features=batch_extra)
     if windowed and getattr(args, "reference_noise_compat", False):
         # reproduce the reference's training-data bug: class 14 (power lines)
         # dropped from TRAINING while still evaluated at test time
@@ -647,12 +664,17 @@ def cmd_test(args) -> int:
         print(f"--tta must be in 1..8 (dihedral period), got {args.tta}",
               file=sys.stderr)
         return 1
+    if int(getattr(args, "tile_votes", 1)) < 1:
+        print(f"--tile_votes must be >= 1, got {args.tile_votes}",
+              file=sys.stderr)
+        return 1
     out = evaluate_dataset(
         inferencer, ds,
         out_csv=os.path.join(args.out_path, "IoU-results.csv"),
         model_name=ckpt_name,
         plot_dir=os.path.join(args.out_path, "plots") if args.plot else None,
         tta=getattr(args, "tta", 1),
+        tile_votes=getattr(args, "tile_votes", 1),
         analysis_dir=args.out_path if getattr(args, "analysis", False) else None,
     )
     print(json.dumps(out["summary"], indent=2))
@@ -719,12 +741,16 @@ def cmd_infer(args) -> int:
     if not 1 <= tta <= 8:
         print(f"--tta must be in 1..8 (dihedral period), got {tta}", file=sys.stderr)
         return 1
-    chunk_size = max(1, 16 // tta)
+    votes = int(getattr(args, "tile_votes", 1))
+    if votes < 1:
+        print(f"--tile_votes must be >= 1, got {votes}", file=sys.stderr)
+        return 1
+    chunk_size = max(1, 16 // (tta * votes))
     for start in range(0, len(ds), chunk_size):
         chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]
         feats = [normalize_xy_neg_one(select_model_features(s["points"], extra_features))
                  for s in chunk]
-        if tta > 1:
+        if tta * votes > 1:
             from ampnet_tpu.infer.tiled import tta_ensemble
 
             outs = [
@@ -734,6 +760,7 @@ def cmd_infer(args) -> int:
                         cs, seeds=sd, return_probs=True
                     ),
                     feats, tta, seeds=list(range(start, start + len(chunk))),
+                    votes=votes,
                 )
             ]
         else:
@@ -1104,7 +1131,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced",
                    help="'fast' = plain-Lloyd + one balanced solve (~4x cheaper "
                         "tiling, -0.4 mIoU measured)")
-    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None,
+    s.add_argument("--transfer_dtype", choices=["float32", "float16", "int8"], default=None,
                    help="host->device wire format; float16 halves transfer bytes "
                         "(measured quality-neutral, +44%% serving on a "
                         "transfer-bound link)")
@@ -1112,6 +1139,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="test-time augmentation: average class probabilities "
                         "over N dihedral transforms per cloud (4 = the 90-"
                         "degree rotations, 8 = + mirrors); 1 = off")
+    s.add_argument("--tile_votes", type=int, default=1,
+                   help="overlap-vote inference: predict each cloud (or "
+                        "dihedral view, with --tta) under N different "
+                        "balanced-k-means tilings and average per-point "
+                        "probabilities — boundary points in one tiling are "
+                        "interior in another; 1 = off")
     s.add_argument("--analysis", action="store_true",
                    help="write analysis.json + confusion.png: per-class "
                         "precision/recall, boundary-vs-interior error "
@@ -1146,7 +1179,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--backend", choices=["xla", "folded", "bf16", "fused", "int8"],
                    default="xla", help="inference backend (as in `ampnet test`)")
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced")
-    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None,
+    s.add_argument("--transfer_dtype", choices=["float32", "float16", "int8"], default=None,
                    help="host->device wire format (as in `ampnet test`)")
     s.add_argument("--save_probs", action="store_true",
                    help="also write per-point softmax confidences "
@@ -1154,6 +1187,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tta", type=int, default=1,
                    help="dihedral test-time-augmentation ensemble size "
                         "(as in `ampnet test`; .pkl cloud mode only)")
+    s.add_argument("--tile_votes", type=int, default=1,
+                   help="overlap-vote inference: N tilings per view, "
+                        "probabilities averaged (as in `ampnet test`)")
     s.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("serve", help="long-lived HTTP inference server")
@@ -1174,7 +1210,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--backend", choices=["xla", "folded", "bf16", "fused", "int8"],
                    default="folded")
     s.add_argument("--tiler", choices=["balanced", "fast"], default="balanced")
-    s.add_argument("--transfer_dtype", choices=["float32", "float16"], default=None)
+    s.add_argument("--transfer_dtype", choices=["float32", "float16", "int8"], default=None)
     s.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="micro-batching window for concurrent requests")
     s.add_argument("--max_batch_clouds", type=int, default=64)

@@ -55,13 +55,26 @@ def dihedral_xy(points9: np.ndarray, t: int) -> np.ndarray:
     return out
 
 
-def tta_ensemble(predict_probs, clouds, transforms: int, seeds=None) -> list:
-    """Shared dihedral-ensemble driver behind every TTA surface (``predict_tta``,
+def tta_ensemble(predict_probs, clouds, transforms: int, seeds=None,
+                 votes: int = 1) -> list:
+    """Shared view-ensemble driver behind every TTA surface (``predict_tta``,
     ``evaluate_dataset``, ``ampnet infer --tta``, serving JSON ``"tta"`` /
     binary ``X-TTA``): expand each cloud into its first T dihedral views, run
     ONE batched prediction over the expanded list (all views of a cloud share
     its (k, cap) bucket, so the ensemble batches into single device calls),
     regroup, average class probabilities in float32, argmax the mean.
+
+    ``votes`` adds OVERLAP-VOTE tiled inference (VERDICT r3 #5): each view
+    repeats V times with distinct prediction seeds, and the seed drives the
+    balanced-k-means initialization + replicate padding, so every vote
+    partitions the cloud into a DIFFERENT set of windows. Points near a
+    window boundary in one tiling are interior in another; averaging their
+    probabilities attacks the boundary-error mass the round-3 anatomy
+    identified (~72 % of tower errors are boundary points — BASELINE.md).
+    Spiritual precedent: the reference's overlapping sliding-window scanner
+    (``utils/utils.py:668-754``), which this framework keeps as
+    ``ops/sliding_window.py``; here the overlap comes from re-tiling, so the
+    per-view device program is the standard bucket program, unchanged.
 
     ``predict_probs(clouds, seeds) -> [(preds, probs), ...]`` — a
     ``predict_many(..., return_probs=True)``-shaped callable; serving passes a
@@ -73,21 +86,27 @@ def tta_ensemble(predict_probs, clouds, transforms: int, seeds=None) -> list:
 
     Returns ``[(preds int32, mean_probs float32), ...]`` in input order.
     """
-    T = int(transforms)
+    T, V = int(transforms), int(votes)
     if not 1 <= T <= 8:
         raise ValueError(
             f"tta transforms must be in 1..8 (dihedral_xy has period 8; more "
             f"would double-count views), got {T}"
         )
+    if V < 1:
+        raise ValueError(f"votes must be >= 1, got {V}")
     if seeds is None:
         seeds = list(range(len(clouds)))
-    expanded = [dihedral_xy(c, t) for c in clouds for t in range(T)]
-    eseeds = [s * T + t for s in seeds for t in range(T)]
+    views = T * V
+    expanded = [dihedral_xy(c, t) for c in clouds for t in range(T)
+                for _ in range(V)]
+    eseeds = [s * views + t * V + v
+              for s in seeds for t in range(T) for v in range(V)]
     outs = predict_probs(expanded, eseeds)
     results = []
     for ci in range(len(clouds)):
         mean = np.mean(
-            [np.asarray(outs[ci * T + t][1], np.float32) for t in range(T)],
+            [np.asarray(outs[ci * views + j][1], np.float32)
+             for j in range(views)],
             axis=0,
         )
         results.append((np.argmax(mean, axis=-1).astype(np.int32), mean))
@@ -144,10 +163,22 @@ class TiledInferencer:
         self.tiler = tiler
         self.backend = backend
         # wire format for host->device cloud transfer: 'float16' halves the
-        # bytes (features are normalized, quantization noise ~1e-3); compute
-        # stays fp32 on device. Matters when serving is transfer-bound (this
+        # bytes (features are normalized, quantization noise ~1e-3); 'int8'
+        # quarters them via per-cloud per-column affine quantization (scale +
+        # offset ride along as two tiny [B, F] arrays; max error = column
+        # range / 254). Compute stays fp32 on device — the wire dtype also
+        # sets the dtype of the on-device reorder gather, so a 15-column
+        # --geom_features record moves FEWER bytes through the memory-bound
+        # tile/gather path on the int8 wire than the 9-column f16 default
+        # (VERDICT r3 weak #3). Matters when serving is transfer-bound (this
         # environment's relay moves ~26 MB/s — docs/design.md)
         self.transfer_dtype = np.dtype(transfer_dtype or np.float32)
+        if self.transfer_dtype not in (np.dtype(np.float32), np.dtype(np.float16),
+                                       np.dtype(np.int8)):
+            raise ValueError(
+                f"transfer_dtype must be float32, float16 or int8, "
+                f"got {self.transfer_dtype}"
+            )
         # clouds beyond this size are spatially halved and predicted per half
         # (windows are independent beyond the per-piece attention context —
         # the same independence the reference's upstream tile/window splitting
@@ -215,11 +246,20 @@ class TiledInferencer:
         if (k, cap, probs) in self._fns:
             return self._fns[(k, cap, probs)]
         fwd = self._forward
+        int8_wire = self.transfer_dtype == np.dtype(np.int8)
 
-        def tile_one(points: jnp.ndarray, key: jax.Array):
-            n = points.shape[0]
+        def to_f32(x, scales, offsets):
+            # wire decode: f16/f32 is a plain upcast; int8 is the affine
+            # dequant of _encode_batch (scales/offsets are [B, F'] f32,
+            # broadcast over the points axis)
+            x = x.astype(jnp.float32)
+            if int8_wire:
+                x = (x + 127.0) * scales[:, None, :] + offsets[:, None, :]
+            return x
+
+        def tile_one(feats: jnp.ndarray, key: jax.Array):
+            n = feats.shape[0]
             if k > 1:
-                feats = points[:, KMEANS_FEATURE_IDX]
                 assign, _ = balanced_kmeans(
                     feats, k, key, capacities=(cap,) * k, exact=True,
                     lloyd_mode="argmin" if self.tiler == "fast" else "sinkhorn",
@@ -227,14 +267,21 @@ class TiledInferencer:
                 return jnp.argsort(assign, stable=True)
             return jnp.arange(n)
 
-        def run_impl(variables, points: jnp.ndarray, keys: jax.Array):
-            # points: [B, k*cap, 9] (already replicate-padded on host; possibly
-            # a half-precision wire format — compute is fp32 from here)
-            points = points.astype(jnp.float32)
+        def run_impl(variables, points: jnp.ndarray, scales, offsets,
+                     keys: jax.Array):
+            # points: [B, k*cap, F] in the WIRE dtype (already replicate-padded
+            # on host). The tiler reads only the x/y/NDVI columns and the
+            # reorder gather runs in the wire dtype, so neither pays for the
+            # full record width (15 columns with --geom_features); decode to
+            # fp32 happens after the gather, fused into the windows reshape.
             b, n, f = points.shape
-            order = jax.vmap(tile_one)(points, keys)  # [B, k*cap]
+            kidx = jnp.array(KMEANS_FEATURE_IDX)
+            kfeats = to_f32(jnp.take(points, kidx, axis=2),
+                            jnp.take(scales, kidx, axis=1),
+                            jnp.take(offsets, kidx, axis=1))
+            order = jax.vmap(tile_one)(kfeats, keys)  # [B, k*cap]
             gathered = jnp.take_along_axis(points, order[..., None], axis=1)
-            windows = gathered.reshape(b, k, cap, f)
+            windows = to_f32(gathered, scales, offsets).reshape(b, k, cap, f)
             centroids = windows[..., :2].mean(axis=2)  # [B, k, 2]
             if self.ensemble > 1:
                 # checkpoint ensemble: vmap the forward over the stacked model
@@ -271,12 +318,33 @@ class TiledInferencer:
             out_shard = (data, data) if probs else data
             run = jax.jit(
                 run_impl,
-                in_shardings=(repl, data, data),
+                in_shardings=(repl, data, data, data, data),
                 out_shardings=out_shard,
             )
 
         self._fns[(k, cap, probs)] = run
         return run
+
+    def _encode_batch(self, rows: np.ndarray):
+        """Wire-encode a [B, N, F] cloud batch: returns (encoded, scales,
+        offsets) ready for the bucket program. f32/f16 wires pass scale/offset
+        placeholders (unused in the graph — XLA prunes them); the int8 wire
+        affine-quantizes per cloud per column: q = round((v−lo)/scale) − 127
+        with scale = (hi−lo)/254, decoded on device as (q+127)·scale + lo.
+        Constant columns get scale 0 and decode to lo exactly."""
+        b, _, f = rows.shape
+        if self.transfer_dtype != np.dtype(np.int8):
+            return (rows.astype(self.transfer_dtype),
+                    np.ones((b, f), np.float32), np.zeros((b, f), np.float32))
+        lo = rows.min(axis=1).astype(np.float32)  # [B, F]
+        hi = rows.max(axis=1).astype(np.float32)
+        scale = (hi - lo) / 254.0
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.rint(
+            (rows.astype(np.float32) - lo[:, None, :]) / safe[:, None, :]
+        ).astype(np.int16)
+        q = (q - 127).astype(np.int8)
+        return q, scale, lo
 
     def predict(self, points9: np.ndarray, seed: int = 0, return_probs: bool = False):
         """Per-point class predictions for one [N, 9] cloud of any size.
@@ -310,9 +378,12 @@ class TiledInferencer:
         padded = np.concatenate([points9, points9[dup]], axis=0)
         run = self._bucket_fn(k, cap, probs=return_probs)
         self._mark_program(k, cap, return_probs, 1)
+        enc, scales, offsets = self._encode_batch(padded[None])
         out = run(
             self.variables,
-            jnp.asarray(padded.astype(self.transfer_dtype))[None],
+            jnp.asarray(enc),
+            jnp.asarray(scales),
+            jnp.asarray(offsets),
             jax.random.PRNGKey(seed)[None],
         )
         if return_probs:
@@ -321,7 +392,7 @@ class TiledInferencer:
         return np.asarray(out[0])[:n].astype(np.int32)
 
     def predict_tta(self, points9: np.ndarray, seed: int = 0, transforms: int = 4,
-                    return_probs: bool = False):
+                    return_probs: bool = False, votes: int = 1):
         """Test-time augmentation: average per-point class probabilities over
         the first ``transforms`` dihedral transforms of the cloud (90° rotations
         first, then their mirrors — ``dihedral_xy``), argmax the mean.
@@ -330,14 +401,15 @@ class TiledInferencer:
         copies align index-for-index; and identical N means every copy lands
         in the SAME (k, cap) bucket — the whole ensemble runs as one batched
         device call. Each copy also gets a different k-means/padding seed, so
-        the ensemble averages over tiling variation too. No reference
-        counterpart (its tester is single-pass)."""
-        T = int(transforms)
-        if T <= 1:
+        the ensemble averages over tiling variation too. ``votes > 1`` adds
+        overlap-vote re-tiling on top (``tta_ensemble`` votes semantics). No
+        reference counterpart (its tester is single-pass)."""
+        T, V = int(transforms), int(votes)
+        if T <= 1 and V <= 1:
             return self.predict(points9, seed, return_probs)
         ((preds, mean),) = tta_ensemble(
             lambda cs, sd: self.predict_many(cs, seeds=sd, return_probs=True),
-            [points9], T, seeds=[seed],
+            [points9], max(T, 1), seeds=[seed], votes=V,
         )
         if return_probs:
             return preds, mean.astype(np.float16)
@@ -397,8 +469,9 @@ class TiledInferencer:
 
         def launch(call):
             _, run, rows, keys = call
-            batch = jnp.asarray(rows.astype(self.transfer_dtype))
-            return run(self.variables, batch, jnp.stack(keys))
+            enc, scales, offsets = self._encode_batch(rows)
+            return run(self.variables, jnp.asarray(enc), jnp.asarray(scales),
+                       jnp.asarray(offsets), jnp.stack(keys))
 
         if len(calls) > 1 and not os.environ.get("AMPNET_SERIAL_DISPATCH"):
             # overlap per-bucket host→device uploads AND first-call compiles
@@ -515,13 +588,13 @@ class EnsembleInferencer:
         return self.predict_many([points9], seeds=[seed], return_probs=return_probs)[0]
 
     def predict_tta(self, points9: np.ndarray, seed: int = 0, transforms: int = 4,
-                    return_probs: bool = False):
-        T = int(transforms)
-        if T <= 1:
+                    return_probs: bool = False, votes: int = 1):
+        T, V = int(transforms), int(votes)
+        if T <= 1 and V <= 1:
             return self.predict(points9, seed, return_probs)
         ((preds, mean),) = tta_ensemble(
             lambda cs, sd: self.predict_many(cs, seeds=sd, return_probs=True),
-            [points9], T, seeds=[seed],
+            [points9], max(T, 1), seeds=[seed], votes=V,
         )
         if return_probs:
             return preds, mean.astype(np.float16)
@@ -551,6 +624,7 @@ def evaluate_dataset(
     plot_limit: int = 8,
     chunk_size: int = 16,
     tta: int = 1,
+    tile_votes: int = 1,
     analysis_dir: Optional[str] = None,
 ) -> Dict:
     """Evaluate every cloud; append an IoU-results CSV row per cloud and a dataset
@@ -563,18 +637,23 @@ def evaluate_dataset(
     within a chunk, same-bucket clouds still batch into single device calls.
 
     ``tta > 1`` averages class probabilities over that many dihedral transforms
-    per cloud (``TiledInferencer.predict_tta`` semantics); the chunk shrinks so
-    chunk × tta stays within the device-batch budget.
+    per cloud (``TiledInferencer.predict_tta`` semantics); ``tile_votes > 1``
+    additionally repeats each view under that many different tilings
+    (overlap-vote inference — ``tta_ensemble`` votes semantics). The chunk
+    shrinks so chunk × tta × votes stays within the device-batch budget.
 
     ``analysis_dir`` enables the error-analysis accumulator (infer.analysis):
     boundary-vs-interior error attribution, per-class precision/recall and
     worst-cloud lists, written as ``analysis.json`` + ``confusion.png``."""
     num_classes = inferencer.cfg.model.num_classes
-    tta = int(tta)
+    tta, tile_votes = int(tta), int(tile_votes)
     if not 1 <= tta <= 8:
         raise ValueError(f"tta must be in 1..8 (dihedral period), got {tta}")
-    if tta > 1:
-        chunk_size = max(1, chunk_size // tta)
+    if tile_votes < 1:
+        raise ValueError(f"tile_votes must be >= 1, got {tile_votes}")
+    views = tta * tile_votes
+    if views > 1:
+        chunk_size = max(1, chunk_size // views)
     analyzer = None
     if analysis_dir:
         from ampnet_tpu.infer.analysis import ErrorAnalysisAccumulator
@@ -588,7 +667,7 @@ def evaluate_dataset(
     n_points_total = 0
     for start in range(0, len(dataset), chunk_size):
         chunk = [dataset[j] for j in range(start, min(start + chunk_size, len(dataset)))]
-        if tta > 1:
+        if views > 1:
             chunk_preds = [
                 p for p, _ in tta_ensemble(
                     lambda cs, sd: inferencer.predict_many(
@@ -596,6 +675,7 @@ def evaluate_dataset(
                     ),
                     [s["points"] for s in chunk], tta,
                     seeds=list(range(start, start + len(chunk))),
+                    votes=tile_votes,
                 )
             ]
         else:

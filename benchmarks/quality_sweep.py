@@ -75,7 +75,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
     )
 
 
-def test_args(ta, family, tta=1):
+def test_args(ta, family, tta=1, tile_votes=1):
     ckpt = os.path.join(ta.out_path, "checkpoints", f"{ta.arch}_{ta.task}_best")
     return SimpleNamespace(
         dataset_path=ta.dataset_path,
@@ -90,6 +90,7 @@ def test_args(ta, family, tta=1):
         tiler="balanced",
         transfer_dtype=None,
         tta=tta,
+        tile_votes=tile_votes,
     )
 
 
@@ -160,7 +161,8 @@ def run_one(family, seed, args):
     t0 = time.time()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = cmd_test(test_args(ta, family, tta=args.tta))
+        rc = cmd_test(test_args(ta, family, tta=args.tta,
+                                tile_votes=getattr(args, "tile_votes", 1)))
     eval_s = time.time() - t0
     if rc != 0:
         return {"family": family, "seed": seed, "error": f"test rc={rc}"}
@@ -191,6 +193,9 @@ def main():
                     help="dihedral-ensemble views at TEST time (infer --tta "
                          "semantics); combine with --eval_only to re-score "
                          "checkpoints from an earlier sweep's --scratch")
+    ap.add_argument("--tile_votes", type=int, default=1,
+                    help="overlap-vote tilings per view at TEST time "
+                         "(cli --tile_votes; composes with --tta/--eval_only)")
     ap.add_argument("--distill_from", default="",
                     help="teacher checkpoint(s) for '@kd' arms (comma-"
                          "separated; cross-family OK — cli --distill_from)")

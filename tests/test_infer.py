@@ -235,6 +235,43 @@ def test_float16_transfer_dtype_predictions_close(inferencer):
     assert (a == b).mean() > 0.97, (a != b).mean()
 
 
+def test_int8_transfer_dtype_predictions_close(inferencer):
+    """transfer_dtype='int8' affine-quantizes the wire per cloud per column
+    (max error = column range / 254; decode on device — _encode_batch /
+    _bucket_fn to_f32): predictions agree with the fp32 transfer on all but
+    quantization-boundary points, at 1/4 the wire bytes."""
+    rng = np.random.default_rng(17)
+    feats, _ = make_cloud(rng, 1200)
+    q8 = TiledInferencer(inferencer.model, inferencer.variables, inferencer.cfg,
+                         max_clusters=6, transfer_dtype="int8")
+    a = inferencer.predict(feats, seed=3)
+    b = q8.predict(feats, seed=3)
+    assert (a == b).mean() > 0.95, (a != b).mean()
+    # routing through predict_many's batched path is consistent with predict
+    batched = q8.predict_many([feats], seeds=[3])[0]
+    np.testing.assert_array_equal(b, batched)
+
+
+def test_int8_encode_roundtrip_error_bound():
+    """Quantize→dequantize error is bounded by column range / 254 and
+    constant columns decode exactly."""
+    from ampnet_tpu.core.config import AMPNetConfig
+    from ampnet_tpu.models.amp import AMPNetSegmenter
+
+    cfg = AMPNetConfig()
+    model = AMPNetSegmenter(cfg.model)
+    inf = TiledInferencer(model, {}, cfg, max_clusters=4, transfer_dtype="int8")
+    rng = np.random.default_rng(5)
+    rows = rng.normal(size=(3, 64, 9)).astype(np.float32)
+    rows[:, :, 4] = 0.7  # constant column
+    q, scale, lo = inf._encode_batch(rows)
+    assert q.dtype == np.int8
+    dec = (q.astype(np.float32) + 127.0) * scale[:, None, :] + lo[:, None, :]
+    bound = (rows.max(axis=1) - rows.min(axis=1)) / 254.0 * 0.5 + 1e-6
+    assert (np.abs(dec - rows) <= bound[:, None, :]).all()
+    np.testing.assert_array_equal(dec[:, :, 4], rows[:, :, 4])
+
+
 def test_mesh_sharded_serving_matches_single_device(inferencer):
     """TiledInferencer(mesh=...) shards the cloud batch over the mesh with
     replicated variables; predictions must match single-device exactly."""
@@ -368,6 +405,45 @@ def test_evaluate_dataset_tta(inferencer):
     out = evaluate_dataset(inferencer, ds, tta=2)
     assert out["summary"]["n_clouds"] == 2
     assert 0.0 <= out["summary"]["oa"] <= 1.0
+
+
+def test_tile_votes_overlap_vote(inferencer):
+    """Overlap-vote inference (tta_ensemble votes semantics): each vote uses a
+    distinct prediction seed, which drives BOTH the balanced-k-means init and
+    the replicate padding — so votes partition the cloud differently and the
+    mean-probability ensemble differs from any single pass. Deterministic,
+    composes with tta, exact expansion indexing vs a manual mean."""
+    from ampnet_tpu.infer.tiled import dihedral_xy, tta_ensemble
+
+    rng = np.random.default_rng(21)
+    cloud, _ = make_cloud(rng, 1100)  # big enough for k > 1 (real tiling)
+    a = inferencer.predict_tta(cloud, seed=0, transforms=1, votes=3)
+    b = inferencer.predict_tta(cloud, seed=0, transforms=1, votes=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1100,)
+    # votes=1 degenerates to plain predict
+    np.testing.assert_array_equal(
+        inferencer.predict_tta(cloud, seed=4, transforms=1, votes=1),
+        inferencer.predict(cloud, seed=4),
+    )
+    # manual-mean parity for the (T=2, V=2) expansion indexing
+    T, V, seeds = 2, 2, [7]
+    ((preds, mean),) = tta_ensemble(
+        lambda cs, sd: inferencer.predict_many(cs, seeds=sd, return_probs=True),
+        [cloud], T, seeds=seeds, votes=V,
+    )
+    expanded = [dihedral_xy(cloud, t) for t in range(T) for _ in range(V)]
+    eseeds = [seeds[0] * T * V + t * V + v for t in range(T) for v in range(V)]
+    raw = inferencer.predict_many(expanded, seeds=eseeds, return_probs=True)
+    want = np.mean([np.asarray(p, np.float32) for _, p in raw], axis=0)
+    np.testing.assert_allclose(mean, want, atol=1e-6)
+    np.testing.assert_array_equal(preds, np.argmax(want, -1))
+    # evaluate_dataset plumbs tile_votes through (chunk shrinks by tta*votes)
+    ds = CloudListDataset([make_cloud(rng, 700)])
+    out = evaluate_dataset(inferencer, ds, tta=1, tile_votes=2)
+    assert out["summary"]["n_clouds"] == 1
+    with pytest.raises(ValueError, match="votes"):
+        evaluate_dataset(inferencer, ds, tile_votes=0)
 
 
 def test_tta_ensemble_rejects_out_of_range(inferencer):

@@ -114,10 +114,16 @@ def main():
 
     stats = json.loads(urllib.request.urlopen(base + "/v1/stats", timeout=60).read())
     print("server stats:", json.dumps(stats))
+    # MEDIAN sustained is the headline (VERDICT r3 weak #5: quoting the best
+    # round overstated serving by up to 2x across relay variance); the best
+    # round rides along as a footnote, never as `value`
+    med = sorted(results)[len(results) // 2]
     print(json.dumps({
         "metric": "http_serving_throughput",
-        "value": round(max(results), 1),
+        "value": round(med, 1),
         "unit": "points/sec",
+        "best_round": round(max(results), 1),
+        "rounds": [round(r, 1) for r in results],
         "clients": args.clients,
         "scenario": f"{args.clouds}x{args.points}",
     }))

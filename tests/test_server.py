@@ -82,6 +82,43 @@ def test_binary_predict_float16_wire(server):
     assert np.frombuffer(body, np.int8).shape == (90,)
 
 
+def test_server_int8_device_wire():
+    """A server whose inferencer uses the int8 host->device wire
+    (--transfer_dtype int8) serves identical-shaped predictions through the
+    full HTTP path — the wire quantization is invisible to clients."""
+    cfg = AMPNetConfig(
+        data=DataConfig(n_points=64, max_clusters_test=3),
+        model=ModelConfig(dropout=0.0),
+    )
+    model = AMPNetSegmenter(cfg.model)
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(1, 2, 64, 9)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), pts, pts[:, :, :, :2].mean(axis=2),
+        np.zeros((1, 2), bool),
+    )
+    inferencer = TiledInferencer(model, variables, cfg, n_points=64,
+                                 max_clusters=3, transfer_dtype="int8")
+    srv = InferenceServer(inferencer, host="127.0.0.1", port=0,
+                          model_name="int8-wire", batch_window_ms=5.0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        cloud = rng.normal(size=(150, 9)).astype(np.float32)
+        status, _, body = _post(
+            srv, "/v1/predict", cloud.tobytes(),
+            {"Content-Type": "application/octet-stream"},
+        )
+        assert status == 200
+        labels = np.frombuffer(body, np.int8)
+        assert labels.shape == (150,)
+        # agrees with the direct inferencer call (same wire, same seed path)
+        direct = inferencer.predict_many([cloud], seeds=[0])[0]
+        assert labels.shape == direct.shape
+    finally:
+        srv.close()
+
+
 def test_json_predict_multi_cloud_and_probs(server):
     rng = np.random.default_rng(3)
     clouds = [rng.normal(size=(n, 9)).astype(np.float32) for n in (80, 120)]

@@ -16,9 +16,11 @@ Endpoints (stdlib http.server; no third-party deps):
     ``X-Dtype``) little-endian ``[N, 9]`` rows in the model feature layout
     ``[x, y, z, I, R, G, B, NIR, NDVI]``; response is ``[N]`` int8 labels.
     ``X-TTA: T`` (1..8) averages a T-view dihedral ensemble (same semantics
-    as the JSON ``"tta"`` field / ``infer --tta``).
+    as the JSON ``"tta"`` field / ``infer --tta``); ``X-Tile-Votes: V``
+    additionally re-tiles each view V times and averages (overlap-vote,
+    JSON ``"votes"`` / ``test --tile_votes``).
   * ``application/json``: ``{"clouds": [[[f0..f8], ...], ...],
-    "probs": false, "normalize": false}``; response
+    "probs": false, "normalize": false, "tta": 1, "votes": 1}``; response
     ``{"labels": [[...], ...], "probs": [[[...], ...]]?}``.
     ``normalize=true`` applies the x/y → [-1, 1] rescale (schema
     ``normalize_xy_neg_one``) server-side for raw 13-column-derived features.
@@ -155,11 +157,17 @@ class ServingStats:
 
 
 class _Job:
-    __slots__ = ("clouds", "probs", "event", "result", "error", "cold")
+    __slots__ = ("clouds", "probs", "seeds", "event", "result", "error", "cold")
 
-    def __init__(self, clouds: List[np.ndarray], probs: bool):
+    def __init__(self, clouds: List[np.ndarray], probs: bool,
+                 seeds: Optional[List[int]] = None):
         self.clouds = clouds
         self.probs = probs
+        # per-cloud prediction seeds (k-means init + replicate padding). The
+        # default 0s keep responses independent of micro-batch composition;
+        # overlap-vote requests pass their per-request-deterministic
+        # tta_ensemble expansion seeds so vote copies tile DIFFERENTLY.
+        self.seeds = seeds
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
@@ -223,7 +231,8 @@ class PredictionService:
         self._fetcher.join(timeout=5)
 
     def predict(self, clouds: List[np.ndarray], probs: bool = False,
-                logical: Optional[tuple] = None):
+                logical: Optional[tuple] = None,
+                seeds: Optional[List[int]] = None):
         """Blocking predict for one request's clouds; thread-safe. Error
         accounting lives in the HTTP handler (the single recorder) so a failed
         prediction is counted exactly once.
@@ -236,7 +245,7 @@ class PredictionService:
         if self._stop.is_set():
             raise RuntimeError("PredictionService is closed")
         t0 = time.time()
-        job = _Job(clouds, probs)
+        job = _Job(clouds, probs, seeds=seeds)
         self._q.put(job)
         if self._stop.is_set() and not job.event.is_set():
             # raced close(): the worker may already have drained its final
@@ -299,11 +308,16 @@ class PredictionService:
             if not group:
                 continue
             clouds = [c for j in group for c in j.clouds]
+            # fixed per-cloud default seed: a response must not depend on
+            # which other requests happened to share its micro-batch; jobs
+            # that carry explicit seeds (overlap-vote) stay deterministic
+            # per request by construction
+            seeds = [s for j in group
+                     for s in (j.seeds if j.seeds is not None
+                               else [0] * len(j.clouds))]
             try:
-                # fixed per-cloud seed: a response must not depend on which
-                # other requests happened to share its micro-batch
                 handle = self.inferencer.dispatch_many(
-                    clouds, seeds=[0] * len(clouds), return_probs=want_probs
+                    clouds, seeds=seeds, return_probs=want_probs
                 )
                 if handle.get("cold"):
                     # every request co-batched with a first-time program shape
@@ -472,19 +486,25 @@ def make_handler(service: PredictionService, model_name: str):
             if not 1 <= tta <= 8:
                 self._send_json(400, {"error": "X-TTA must be 1..8"})
                 return
+            votes = int(self.headers.get("X-Tile-Votes", 1))
+            if votes < 1:
+                self._send_json(400, {"error": "X-Tile-Votes must be >= 1"})
+                return
             t0 = time.time()
             pts = np.frombuffer(raw, dtype=dtype).reshape(-1, n_feat).astype(np.float32)
             service.stats.record_decode(time.time() - t0)
-            if tta > 1:
-                # same dihedral ensemble as the JSON path; all T copies ride
-                # one micro-batch through the untouched batching service
+            if tta * votes > 1:
+                # same view ensemble as the JSON path; all T*V copies ride
+                # one micro-batch through the batching service. The expansion
+                # seeds pass through so vote copies tile differently while
+                # staying deterministic per request.
                 from ampnet_tpu.infer.tiled import tta_ensemble
 
                 ((labels, _),) = tta_ensemble(
-                    lambda cs, _sd: service.predict(
-                        cs, probs=True, logical=(1, pts.shape[0])
+                    lambda cs, sd: service.predict(
+                        cs, probs=True, logical=(1, pts.shape[0]), seeds=sd
                     ),
-                    [pts], tta,
+                    [pts], tta, votes=votes,
                 )
             else:
                 (labels,) = service.predict([pts], probs=False)
@@ -516,21 +536,28 @@ def make_handler(service: PredictionService, model_name: str):
             if not 1 <= tta <= 8:
                 self._send_json(400, {"error": "tta must be 1..8"})
                 return
-            if tta > 1:
-                # dihedral ensemble (infer/tiled.py::tta_ensemble); expansion
-                # happens here so the batching service stays untouched — all
-                # T copies ride one micro-batch. The service's fixed per-cloud
-                # seed keeps responses deterministic; copies still tile
+            votes = int(req.get("votes", 1))
+            if votes < 1:
+                self._send_json(400, {"error": "votes must be >= 1"})
+                return
+            if tta * votes > 1:
+                # view ensemble (infer/tiled.py::tta_ensemble): dihedral TTA
+                # x overlap-vote re-tiling; expansion happens here so the
+                # batching service stays untouched — all T*V copies ride one
+                # micro-batch. The expansion seeds (deterministic per request:
+                # base seed = cloud index) pass through to the service so vote
+                # copies tile differently; tta-only copies also tile
                 # differently because rotation moves the k-means features.
                 from ampnet_tpu.infer.tiled import tta_ensemble
 
                 ens = tta_ensemble(
-                    lambda cs, _sd: service.predict(
+                    lambda cs, sd: service.predict(
                         cs, probs=True,
                         logical=(len(clouds),
                                  sum(c.shape[0] for c in clouds)),
+                        seeds=sd,
                     ),
-                    clouds, tta,
+                    clouds, tta, votes=votes,
                 )
                 outs = [(p, m) if probs else p for p, m in ens]
             else:

@@ -461,6 +461,48 @@ def test_binary_tta_ensemble(server):
     assert e.value.code == 400
 
 
+def test_overlap_vote_serving(server):
+    """JSON "votes" / binary X-Tile-Votes: overlap-vote re-tiling through the
+    micro-batching service. The expansion seeds pass through to dispatch_many
+    (per-request-deterministic), so two identical requests agree; votes
+    composes with tta; bad values are client errors."""
+    rng = np.random.default_rng(33)
+    pts = rng.normal(size=(80, 9)).astype(np.float32)
+    payload = json.dumps(
+        {"clouds": [pts.tolist()], "votes": 3, "probs": True}
+    ).encode()
+    status, _, body = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert status == 200
+    out1 = json.loads(body)
+    assert len(out1["labels"][0]) == 80
+    probs = np.asarray(out1["probs"][0])
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=2e-2)
+    # determinism across identical requests
+    status, _, body = _post(
+        server, "/v1/predict", payload, {"Content-Type": "application/json"}
+    )
+    assert json.loads(body)["labels"] == out1["labels"]
+    # binary wire, composed with tta
+    status, ctype, body = _post(
+        server, "/v1/predict", pts.tobytes(),
+        {"Content-Type": "application/octet-stream", "X-TTA": "2",
+         "X-Tile-Votes": "2"},
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    assert np.frombuffer(body, np.int8).shape == (80,)
+    import pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", pts.tobytes(),
+              {"Content-Type": "application/octet-stream", "X-Tile-Votes": "0"})
+    assert e.value.code == 400
+    bad = json.dumps({"clouds": [pts.tolist()], "votes": 0}).encode()
+    with _pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", bad, {"Content-Type": "application/json"})
+    assert e.value.code == 400
+
+
 def test_tta_stats_count_logical_clouds(server):
     """A TTA request predicts T× expanded clouds on the device, but /v1/stats
     request accounting must count what the CLIENT sent — 2 clouds, not 8

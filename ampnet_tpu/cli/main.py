@@ -725,7 +725,9 @@ def cmd_infer(args) -> int:
             name = os.path.splitext(os.path.basename(t))[0]
             out_las = os.path.join(args.out_path, name + "_classified.las")
             results[name] = classify_las_file(
-                inferencer, t, out_las, window_size=args.window_size
+                inferencer, t, out_las, window_size=args.window_size,
+                tta=int(getattr(args, "tta", 1)),
+                votes=int(getattr(args, "tile_votes", 1)),
             )
         with open(os.path.join(args.out_path, "tile_metrics.json"), "w") as f:
             json.dump(results, f, indent=2)
@@ -1186,7 +1188,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(<name>_probs.npy, float16)")
     s.add_argument("--tta", type=int, default=1,
                    help="dihedral test-time-augmentation ensemble size "
-                        "(as in `ampnet test`; .pkl cloud mode only)")
+                        "(as in `ampnet test`; applies per window in "
+                        "whole-tile LAS mode)")
     s.add_argument("--tile_votes", type=int, default=1,
                    help="overlap-vote inference: N tilings per view, "
                         "probabilities averaged (as in `ampnet test`)")

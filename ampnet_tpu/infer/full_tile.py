@@ -37,8 +37,14 @@ def predict_tile(
     max_z: float = 100.0,
     min_points: int = 0,
     hag_cell: float = 2.0,
+    tta: int = 1,
+    votes: int = 1,
 ) -> Tuple[np.ndarray, Dict]:
-    """Per-point predicted segmentation class (−1 where filtered out) + metrics."""
+    """Per-point predicted segmentation class (−1 where filtered out) + metrics.
+
+    ``tta``/``votes`` average class probabilities over dihedral views /
+    overlap-vote re-tilings per window (``infer/tiled.py::tta_ensemble``
+    semantics — same flags as ``ampnet test``)."""
     n = len(las)
     hag = las.height_above_ground
     if hag is None:
@@ -99,7 +105,21 @@ def predict_tile(
         win_kept.append(kept_idx)
         win_cls.append(cls[keep])
     if win_feats:
-        outs = inferencer.predict_many(win_feats, seeds=list(range(len(win_feats))))
+        if int(tta) * int(votes) > 1:
+            from ampnet_tpu.infer.tiled import tta_ensemble
+
+            outs = [
+                p for p, _ in tta_ensemble(
+                    lambda cs, sd: inferencer.predict_many(
+                        cs, seeds=sd, return_probs=True
+                    ),
+                    win_feats, max(int(tta), 1), votes=int(votes),
+                )
+            ]
+        else:
+            outs = inferencer.predict_many(
+                win_feats, seeds=list(range(len(win_feats)))
+            )
         for p, kept_idx, kcls in zip(outs, win_kept, win_cls):
             preds[kept_idx] = p
             labels[kept_idx] = np.asarray(remap_segmentation_labels(kcls))

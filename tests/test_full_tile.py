@@ -55,6 +55,20 @@ def test_predict_tile_covers_unfiltered_points(inferencer, las):
     assert metrics["points_evaluated"] <= metrics["points_total"]
 
 
+def test_predict_tile_tta_votes(inferencer, las):
+    """infer --tta/--tile_votes in whole-tile LAS mode: per-window view
+    ensemble through tta_ensemble; coverage identical to the single-pass
+    path and deterministic."""
+    cloud = read_las(las)
+    base, _ = predict_tile(inferencer, cloud, window_size=100.0)
+    a, m = predict_tile(inferencer, cloud, window_size=100.0, tta=2, votes=2)
+    b, _ = predict_tile(inferencer, cloud, window_size=100.0, tta=2, votes=2)
+    np.testing.assert_array_equal(a, b)
+    # ensembling never changes WHICH points get predictions
+    np.testing.assert_array_equal(a >= 0, base >= 0)
+    assert 0.0 <= m["oa"] <= 1.0
+
+
 def test_classify_las_roundtrip(inferencer, las, tmp_path):
     out = str(tmp_path / "classified.las")
     metrics = classify_las_file(inferencer, las, out, window_size=100.0)

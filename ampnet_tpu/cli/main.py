@@ -688,6 +688,19 @@ def cmd_infer(args) -> int:
     from ampnet_tpu.data.datasets import InferenceCloudDataset
     from ampnet_tpu.data.schema import select_model_features, normalize_xy_neg_one
 
+    # validate the view-ensemble flags BEFORE any work (including the whole-tile
+    # LAS branch, which returns early): previously --tta 9 surfaced as a raw
+    # ValueError traceback mid-run after tiles started processing, and
+    # --tile_votes 0 silently disabled TTA via the tta*votes>1 gate
+    tta = int(getattr(args, "tta", 1))
+    if not 1 <= tta <= 8:
+        print(f"--tta must be in 1..8 (dihedral period), got {tta}", file=sys.stderr)
+        return 1
+    votes = int(getattr(args, "tile_votes", 1))
+    if votes < 1:
+        print(f"--tile_votes must be >= 1, got {votes}", file=sys.stderr)
+        return 1
+
     restored = _restore_variables(args, "segmentation")
     if restored is None:
         return 1
@@ -726,8 +739,7 @@ def cmd_infer(args) -> int:
             out_las = os.path.join(args.out_path, name + "_classified.las")
             results[name] = classify_las_file(
                 inferencer, t, out_las, window_size=args.window_size,
-                tta=int(getattr(args, "tta", 1)),
-                votes=int(getattr(args, "tile_votes", 1)),
+                tta=tta, votes=votes,
             )
         with open(os.path.join(args.out_path, "tile_metrics.json"), "w") as f:
             json.dump(results, f, indent=2)
@@ -738,15 +750,7 @@ def cmd_infer(args) -> int:
     ds = InferenceCloudDataset(args.dataset_path, files)
     # chunked predict_many: same-bucket clouds batch into single device calls
     # and bucket fetches pipeline (infer/tiled.py), instead of one dispatch
-    # round-trip per cloud
-    tta = int(getattr(args, "tta", 1))
-    if not 1 <= tta <= 8:
-        print(f"--tta must be in 1..8 (dihedral period), got {tta}", file=sys.stderr)
-        return 1
-    votes = int(getattr(args, "tile_votes", 1))
-    if votes < 1:
-        print(f"--tile_votes must be >= 1, got {votes}", file=sys.stderr)
-        return 1
+    # round-trip per cloud (tta/votes validated at the top of cmd_infer)
     chunk_size = max(1, 16 // (tta * votes))
     for start in range(0, len(ds), chunk_size):
         chunk = [ds[i] for i in range(start, min(start + chunk_size, len(ds)))]

@@ -113,7 +113,7 @@ def predict_tile(
                     lambda cs, sd: inferencer.predict_many(
                         cs, seeds=sd, return_probs=True
                     ),
-                    win_feats, max(int(tta), 1), votes=int(votes),
+                    win_feats, int(tta), votes=int(votes),
                 )
             ]
         else:

@@ -482,11 +482,17 @@ def make_handler(service: PredictionService, model_name: str):
                               f"(got {len(raw)} bytes)"},
                 )
                 return
-            tta = int(self.headers.get("X-TTA", 1))
+            # non-numeric client input is a 400, not a ValueError → 500
+            try:
+                tta = int(self.headers.get("X-TTA", 1))
+                votes = int(self.headers.get("X-Tile-Votes", 1))
+            except (TypeError, ValueError):
+                self._send_json(
+                    400, {"error": "X-TTA and X-Tile-Votes must be integers"})
+                return
             if not 1 <= tta <= 8:
                 self._send_json(400, {"error": "X-TTA must be 1..8"})
                 return
-            votes = int(self.headers.get("X-Tile-Votes", 1))
             if votes < 1:
                 self._send_json(400, {"error": "X-Tile-Votes must be >= 1"})
                 return
@@ -532,11 +538,15 @@ def make_handler(service: PredictionService, model_name: str):
 
                 clouds = [normalize_xy_neg_one(c) for c in clouds]
             probs = bool(req.get("probs", False))
-            tta = int(req.get("tta", 1))
+            try:
+                tta = int(req.get("tta", 1))
+                votes = int(req.get("votes", 1))
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "tta and votes must be integers"})
+                return
             if not 1 <= tta <= 8:
                 self._send_json(400, {"error": "tta must be 1..8"})
                 return
-            votes = int(req.get("votes", 1))
             if votes < 1:
                 self._send_json(400, {"error": "votes must be >= 1"})
                 return

@@ -78,8 +78,10 @@ def tta_ensemble(predict_probs, clouds, transforms: int, seeds=None,
 
     ``predict_probs(clouds, seeds) -> [(preds, probs), ...]`` — a
     ``predict_many(..., return_probs=True)``-shaped callable; serving passes a
-    closure over its micro-batching service (which ignores the seeds —
-    responses must not depend on co-batched traffic).
+    closure over its micro-batching service, forwarding the per-request-
+    deterministic expansion seeds (so vote copies tile differently while the
+    response stays independent of co-batched traffic); plain non-ensemble
+    serving jobs keep the fixed seed 0.
 
     T is capped at 8 because ``dihedral_xy`` has period 8: T > 8 would average
     duplicate views and silently bias the mean toward them.

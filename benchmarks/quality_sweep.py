@@ -75,7 +75,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
     )
 
 
-def test_args(ta, family, tta=1, tile_votes=1):
+def test_args(ta, family, tta=1, tile_votes=1, transfer_dtype=None):
     ckpt = os.path.join(ta.out_path, "checkpoints", f"{ta.arch}_{ta.task}_best")
     return SimpleNamespace(
         dataset_path=ta.dataset_path,
@@ -88,7 +88,7 @@ def test_args(ta, family, tta=1, tile_votes=1):
         plot=False,
         backend="xla",
         tiler="balanced",
-        transfer_dtype=None,
+        transfer_dtype=transfer_dtype,
         tta=tta,
         tile_votes=tile_votes,
     )
@@ -162,7 +162,9 @@ def run_one(family, seed, args):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = cmd_test(test_args(ta, family, tta=args.tta,
-                                tile_votes=getattr(args, "tile_votes", 1)))
+                                tile_votes=getattr(args, "tile_votes", 1),
+                                transfer_dtype=getattr(args, "transfer_dtype",
+                                                       None) or None))
     eval_s = time.time() - t0
     if rc != 0:
         return {"family": family, "seed": seed, "error": f"test rc={rc}"}
@@ -175,6 +177,8 @@ def run_one(family, seed, args):
            "eval_s": round(eval_s, 1), "summary": summary}
     if args.tta > 1:
         row["tta"] = args.tta
+    if getattr(args, "transfer_dtype", ""):
+        row["transfer_dtype"] = args.transfer_dtype
     return row
 
 
@@ -201,6 +205,10 @@ def main():
                          "separated; cross-family OK — cli --distill_from)")
     ap.add_argument("--distill_alpha", type=float, default=0.5)
     ap.add_argument("--distill_temp", type=float, default=2.0)
+    ap.add_argument("--transfer_dtype", default="",
+                    help="host->device wire for the evaluator (cli "
+                         "--transfer_dtype: float16/int8); measures the "
+                         "wire's quality cost at eval time")
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate the existing best "
                          "checkpoints in --scratch (errors if one is missing)")

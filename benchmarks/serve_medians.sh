@@ -17,10 +17,11 @@ python -m ampnet_tpu serve --host 127.0.0.1 --port $PORT "$@" \
   > /tmp/serve_${NAME}.log 2>&1 &
 SRV=$!
 echo $SRV > /tmp/serve_${NAME}.pid
-# wait up to 15 min for warmup compiles through the relay
+# wait up to 40 min for warmup compiles through the relay (5 micro-batch-shape
+# programs x 3-6 min cold each — healthz only comes up after cmd_serve warmup)
 i=0
 until curl -sf http://127.0.0.1:$PORT/healthz >/dev/null 2>&1; do
-  i=$((i+1)); [ $i -gt 180 ] && { echo "SERVER TIMEOUT"; kill $SRV; exit 1; }
+  i=$((i+1)); [ $i -gt 480 ] && { echo "SERVER TIMEOUT"; kill $SRV; exit 1; }
   sleep 5
 done
 for rep in 1 2 3; do

@@ -122,6 +122,8 @@ def cmd_preprocess(args) -> int:
         artifact_format=args.artifact_format, assigner=assigner,
         geom_features=getattr(args, "geom_features", False),
         geom_k=getattr(args, "geom_k", 24),
+        geom_radius_norm=getattr(args, "geom_radius_norm", "absolute")
+        or "absolute",
     )
     produced, errors = run_pipeline(tiles, params, workers=workers)
     n_failed = len(errors)
@@ -180,6 +182,8 @@ def _build_cfg(args):
             n_points=args.number_of_points, max_windows=args.number_of_windows,
             extra_features=N_GEOM_FEATURES
             if getattr(args, "geom_features", False) else 0,
+            geom_radius_norm=getattr(args, "geom_radius_norm", "absolute")
+            or "absolute",
         ),
         model=ModelConfig(
             context="attention" if args.arch == "attention" else args.arch,
@@ -1020,6 +1024,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "pair with `train --geom_features`")
     s.add_argument("--geom_k", type=int, default=24,
                    help="k-NN neighborhood size for --geom_features")
+    s.add_argument("--geom_radius_norm", choices=["absolute", "median"],
+                   default="absolute",
+                   help="radius-column density normalization: 'median' "
+                        "divides each point's k-th-NN distance by the "
+                        "cloud's median, making the eigenfeature columns "
+                        "invariant to uniform acquisition-density shifts "
+                        "(density÷2 costs absolute-mode geom −4.0 mIoU, "
+                        "BASELINE.md); pair with the same flag on `train`")
     s.add_argument("--workers", type=int, default=1,
                    help="host process-pool size over tiles (the reference's "
                         "mp.Pool preprocessing parallelism); pooled runs use "
@@ -1077,6 +1089,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(dataset must be preprocessed with `preprocess "
                         "--geom_features`); carried in checkpoint meta so "
                         "test/infer pick them up automatically")
+    s.add_argument("--geom_radius_norm", choices=["absolute", "median"],
+                   default="absolute",
+                   help="record which radius normalization the dataset's geom "
+                        "columns were preprocessed with (must match the "
+                        "`preprocess --geom_radius_norm` used) — whole-tile "
+                        "LAS inference recomputes the columns from this")
     s.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batches per optimizer update (memory lever for "
                         "large batches; batch_size must divide evenly)")

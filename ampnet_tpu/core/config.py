@@ -41,6 +41,13 @@ class DataConfig:
     # 0 = the reference feature set). Carried in checkpoint meta so test/infer
     # rebuild the same input schema automatically.
     extra_features: int = 0
+    # radius-column density normalization the geom columns were preprocessed
+    # with ('absolute' | 'median', preproc/geomfeat.py::geometric_features);
+    # recorded here so whole-tile LAS inference (infer/full_tile.py), which
+    # RECOMPUTES the eigenfeatures from raw coordinates, reproduces the
+    # training-time schema. 'median' is the density-shift-robust mode
+    # (BASELINE.md density÷2 arm).
+    geom_radius_norm: str = "absolute"
     # ASPRS-ish classes dropped at dataset load. NOTE: the reference also drops 14
     # (power lines) here, which makes the cables class unlearnable — see
     # data/schema.py DATASET_NOISE_CLASSES for the full account

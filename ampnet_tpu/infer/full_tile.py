@@ -98,7 +98,13 @@ def predict_tile(
                     f"checkpoint wants {extra} geom columns, this build computes "
                     f"{N_GEOM_FEATURES}")
             xyz = np.stack([pc[:, 10], pc[:, 11], pc[:, 2] * max_z], axis=1)
-            feats = np.concatenate([feats, geometric_features(xyz)], axis=1)
+            feats = np.concatenate(
+                [feats,
+                 geometric_features(
+                     xyz,
+                     radius_norm=getattr(inferencer.cfg.data,
+                                         "geom_radius_norm", "absolute"))],
+                axis=1)
         feats[:, 0] = feats[:, 0] * 2 - 1
         feats[:, 1] = feats[:, 1] * 2 - 1
         win_feats.append(feats.astype(np.float32))

@@ -26,7 +26,8 @@ GEOM_FEATURE_NAMES = (
 N_GEOM_FEATURES = len(GEOM_FEATURE_NAMES)
 
 
-def geometric_features(xyz: np.ndarray, k: int = 24) -> np.ndarray:
+def geometric_features(xyz: np.ndarray, k: int = 24,
+                       radius_norm: str = "absolute") -> np.ndarray:
     """Per-point eigenfeatures over the k-NN neighborhood.
 
     xyz: [N, 3] METRIC coordinates (meters — not the normalized model columns;
@@ -42,9 +43,22 @@ def geometric_features(xyz: np.ndarray, k: int = 24) -> np.ndarray:
                                  structures this is the tower↔lines
                                  discriminator (horizontal wire ≈ 0, vertical
                                  lattice edge ≈ 1) the anatomy calls for
-      radius      1/(1+r_k)    — bounded local density proxy (r_k = distance
-                                 to the k-th neighbor in meters)
+      radius      — bounded local density proxy from r_k = distance to the
+                    k-th neighbor; two normalizations (``radius_norm``):
+          "absolute"  1/(1+r_k)          r_k in meters. Encodes absolute
+                      structure scale but couples the column to acquisition
+                      density: under a uniform density shift EVERY point's
+                      r_k scales, a wholesale covariate shift in one input
+                      column (measured: density÷2 costs geom −4.0 mIoU vs
+                      plain −2.0, BASELINE.md shift table).
+          "median"    1/(1+r_k/m), m = median r_k over this cloud. Invariant
+                      to uniform density scaling (r_k and m scale together)
+                      while keeping the informative within-cloud contrast
+                      (wires sparse vs canopy dense RELATIVE to the tile).
     """
+    if radius_norm not in ("absolute", "median"):
+        raise ValueError(f"radius_norm must be 'absolute' or 'median', "
+                         f"got {radius_norm!r}")
     xyz = np.asarray(xyz, np.float64)
     n = xyz.shape[0]
     if n == 0:
@@ -74,7 +88,10 @@ def geometric_features(xyz: np.ndarray, k: int = 24) -> np.ndarray:
     # normal = eigenvector of the smallest eigenvalue (column 0 of eigh output)
     verticality = 1.0 - np.abs(evecs[:, 2, 0])
     axis_z = np.abs(evecs[:, 2, 2])  # z of the largest-λ (principal) axis
-    radius = 1.0 / (1.0 + dist[:, -1])
+    r_k = dist[:, -1]
+    if radius_norm == "median":
+        r_k = r_k / max(float(np.median(r_k)), 1e-9)
+    radius = 1.0 / (1.0 + r_k)
 
     # degenerate neighborhoods (all points coincident): zeros, not NaN
     flat = l1 <= 1e-12

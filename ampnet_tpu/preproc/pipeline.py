@@ -44,6 +44,10 @@ class PreprocessParams:
     # boundary-aware feature lever the round-3 error anatomy calls for
     geom_features: bool = False
     geom_k: int = 24
+    # 'absolute' | 'median' — the radius column's density normalization
+    # (geomfeat.py): 'median' makes the descriptors invariant to uniform
+    # acquisition-density shifts (BASELINE.md density÷2 shift arm)
+    geom_radius_norm: str = "absolute"
 
 
 def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], Optional[str]]:
@@ -101,7 +105,10 @@ def process_tile(tile_path: str, params: PreprocessParams) -> Tuple[List[str], O
             xyz = np.stack(
                 [pc[:, 10], pc[:, 11], pc[:, 2] * params.max_z], axis=1
             )
-            pc = np.concatenate([pc, geometric_features(xyz, k=params.geom_k)], axis=1)
+            pc = np.concatenate(
+                [pc, geometric_features(xyz, k=params.geom_k,
+                                        radius_norm=params.geom_radius_norm)],
+                axis=1)
         name = window_file_name(prefix, params.dataset, tile_name, w["window_id"])
         save_cloud(os.path.join(params.out_path, name + ".pkl"), pc)
         windowed = kmeans_tile_cloud(

@@ -72,6 +72,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         local_agg="none",
         local_agg_k=16,
         geom_features=False,
+        geom_radius_norm="absolute",
     )
 
 
@@ -104,6 +105,7 @@ def run_one(family, seed, args):
     base, _, mod = family.partition("@")
     seg_weighing, focal_gamma, distill, oversample = "", 0.0, False, 1
     local_agg, local_agg_k, geom = "none", 16, False
+    geom_radius_norm = "absolute"
     # mods combine with '+': 'attention@edge+geom' trains with both levers
     for tok in (t for t in mod.split("+") if t):
         if tok.startswith("focal"):
@@ -117,6 +119,12 @@ def run_one(family, seed, args):
             # offline eigenfeature columns — --data must point at a dataset
             # preprocessed with `ampnet preprocess --geom_features`
             geom = True
+        elif tok == "geommed":
+            # density-conditioned geom arm: dataset preprocessed with
+            # `--geom_features --geom_radius_norm median` (BASELINE.md
+            # density-shift lever); the mode is recorded in checkpoint meta
+            geom = True
+            geom_radius_norm = "median"
         elif tok.startswith("kd"):
             # knowledge-distillation arm: 'attention@kd' (alpha from
             # --distill_*) or 'attention@kd0.7'; teacher = --distill_from
@@ -134,6 +142,7 @@ def run_one(family, seed, args):
     ta.oversample_factor = oversample
     ta.local_agg, ta.local_agg_k = local_agg, local_agg_k
     ta.geom_features = geom
+    ta.geom_radius_norm = geom_radius_norm
     if distill:
         if not getattr(args, "distill_from", ""):
             return {"family": family, "seed": seed,

@@ -130,3 +130,70 @@ class TestSchemaPlumbing:
         np.testing.assert_array_equal(a, b[:, :13, :])
         assert np.isfinite(b[:, 13:, :]).all()
         assert (b[:, 13:, :] >= 0).all() and (b[:, 13:, :] <= 1).all()
+
+
+class TestRadiusNorm:
+    """Density-conditioned radius normalization (radius_norm='median') —
+    the density÷2 shift arm's fix (VERDICT r4 #5): under uniform density
+    scaling the 'absolute' radius column shifts wholesale while 'median'
+    stays distribution-stable."""
+
+    def test_median_mode_density_invariant(self, rng):
+        xyz = rng.normal(0, 10, (4000, 3))
+        half = xyz[rng.permutation(4000)[:2000]]
+        k = 16
+        abs_full = geometric_features(xyz, k=k)[:, -1]
+        abs_half = geometric_features(half, k=k)[:, -1]
+        med_full = geometric_features(xyz, k=k, radius_norm="median")[:, -1]
+        med_half = geometric_features(half, k=k, radius_norm="median")[:, -1]
+        # absolute mode: r_k grows ~2^(1/3) at half density -> the column
+        # mean moves measurably
+        abs_shift = abs(abs_full.mean() - abs_half.mean())
+        med_shift = abs(med_full.mean() - med_half.mean())
+        assert abs_shift > 0.02
+        assert med_shift < abs_shift / 4
+        # median mode centers the column: median r_k/m = 1 -> radius 0.5
+        assert abs(np.median(med_full) - 0.5) < 1e-6
+        assert abs(np.median(med_half) - 0.5) < 1e-6
+
+    def test_median_mode_only_changes_radius_column(self, rng):
+        xyz = rng.normal(0, 5, (500, 3))
+        a = geometric_features(xyz, k=12)
+        b = geometric_features(xyz, k=12, radius_norm="median")
+        np.testing.assert_array_equal(a[:, :-1], b[:, :-1])
+        assert not np.array_equal(a[:, -1], b[:, -1])
+        assert (b >= 0).all() and (b <= 1).all()
+
+    def test_bad_mode_raises(self, rng):
+        with pytest.raises(ValueError, match="radius_norm"):
+            geometric_features(rng.normal(size=(50, 3)), radius_norm="huh")
+
+    def test_pipeline_plumbs_mode(self, rng, tmp_path):
+        """process_tile(geom_radius_norm='median') differs from 'absolute'
+        ONLY in the radius column; first 18 columns byte-identical."""
+        import glob
+        from types import SimpleNamespace
+
+        from ampnet_tpu.cli.main import cmd_synth
+        from ampnet_tpu.data.io_utils import load_cloud
+        from ampnet_tpu.preproc.pipeline import PreprocessParams, process_tile
+
+        las_dir = tmp_path / "las"
+        cmd_synth(SimpleNamespace(out_path=str(las_dir), n_tiles=1,
+                                  windows_per_tile=1, points_per_window=3000,
+                                  window_size=60.0, seed=3))
+        tile = sorted(glob.glob(str(las_dir / "*.las")))[0]
+        kw = dict(window_size=60.0, min_points=256, n_points=128,
+                  max_windows=3, geom_features=True, geom_k=12)
+        pa = PreprocessParams(out_path=str(tmp_path / "a"), **kw)
+        pm = PreprocessParams(out_path=str(tmp_path / "b"),
+                              geom_radius_norm="median", **kw)
+        (tmp_path / "a").mkdir(), (tmp_path / "b").mkdir()
+        names_a, _ = process_tile(tile, pa)
+        names_b, _ = process_tile(tile, pm)
+        assert names_a == names_b
+        f = "kmeans_" + names_a[0].replace(".pkl", ".npz")
+        a = load_cloud(str(tmp_path / "a" / f))
+        b = load_cloud(str(tmp_path / "b" / f))
+        np.testing.assert_array_equal(a[:, :-1, :], b[:, :-1, :])
+        assert not np.array_equal(a[:, -1, :], b[:, -1, :])

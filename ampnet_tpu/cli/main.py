@@ -191,6 +191,7 @@ def _build_cfg(args):
             dtype=None if getattr(args, "dtype", "float32") == "float32" else args.dtype,
             local_agg=getattr(args, "local_agg", "none") or "none",
             local_agg_k=getattr(args, "local_agg_k", 16) or 16,
+            att_geom_tokens=getattr(args, "att_geom_tokens", False),
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -1095,6 +1096,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "columns were preprocessed with (must match the "
                         "`preprocess --geom_radius_norm` used) — whole-tile "
                         "LAS inference recomputes the columns from this")
+    s.add_argument("--att_geom_tokens", action="store_true",
+                   help="add a per-window [mean‖max] pool of the geom columns "
+                        "to the attention tokens (requires --geom_features), "
+                        "so window keys/queries carry structure, not just "
+                        "centroid position (models/amp.py::GeomTokenEncoding)")
     s.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batches per optimizer update (memory lever for "
                         "large batches; batch_size must divide evenly)")

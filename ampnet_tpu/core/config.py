@@ -107,6 +107,14 @@ class ModelConfig:
     # remaining tower mistakes to (BASELINE.md "Error anatomy")
     local_agg: str = "none"
     local_agg_k: int = 16
+    # geometry-aware attention tokens (opt-in): pool the offline eigenfeature
+    # columns (input cols 9..) per window [mean ‖ max] and add an encoded
+    # summary to each attention token, so window KEYS/QUERIES carry structure
+    # ("contains vertical-linear lattice") and not just centroid position —
+    # the last structural lever the round-4 anatomy licenses (VERDICT r4 #8;
+    # ref tokens see only pos-enc, pointnetAtt.py:183-190). 'false' keeps the
+    # exact reference parameter tree.
+    att_geom_tokens: bool = False
 
 
 @dataclass(frozen=True)

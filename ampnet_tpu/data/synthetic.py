@@ -474,6 +474,12 @@ def synthetic_batch(
                 feats = np.concatenate([window[:, 0:3], window[:, 4:10]], axis=1)
                 feats[:, 0] = feats[:, 0] * 2 - 1
                 feats[:, 1] = feats[:, 1] * 2 - 1
+                if num_features > 9:
+                    # stand-in extra (geom) columns: uniform in [0, 1], the
+                    # range preproc/geomfeat.py guarantees
+                    extra = rng.uniform(0, 1, (n_points, num_features - 9))
+                    feats = np.concatenate([feats, extra.astype(np.float32)],
+                                           axis=1)
                 pts[b, w] = feats
                 from ampnet_tpu.data.schema import remap_segmentation_labels
 

@@ -188,6 +188,30 @@ class CentroidPositionalEncoding(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
 
 
+class GeomTokenEncoding(nn.Module):
+    """Window-level geometry summary → token embedding (opt-in,
+    ``cfg.att_geom_tokens``).
+
+    The reference's window tokens carry only the centroid positional encoding
+    (pointnetAtt.py:183-190), so attention keys/queries know WHERE a window is
+    but not WHAT structure it holds. This encodes the per-window [mean ‖ max]
+    pool of the offline eigenfeature columns (linearity/planarity/scatter/
+    verticality/axis_z/radius — preproc/geomfeat.py) through the same tiny MLP
+    shape as the pos-enc, added to the tokens. A window containing a vertical
+    lattice (tower) then attends differently from pure canopy even when their
+    256-d appearance features are ambiguous — the boundary-context lever the
+    round-4 error anatomy licenses (VERDICT r4 #8)."""
+
+    embed_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, summary: jnp.ndarray) -> jnp.ndarray:  # [B, W, 2E]
+        h = nn.Dense(32, dtype=self.dtype, name="fc1")(summary)
+        h = nn.leaky_relu(h, negative_slope=0.01)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+
+
 class AttentionContext(nn.Module):
     """Cross-window context via centroid-pos-enc + masked MHA."""
 
@@ -201,6 +225,7 @@ class AttentionContext(nn.Module):
         window_pad_mask: Optional[jnp.ndarray],  # [B, W] True = padded window
         train: bool = False,
         use_pos_enc: bool = True,
+        geom_summary: Optional[jnp.ndarray] = None,  # [B, W, 2E] (opt-in)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         tokens = global_feats
@@ -208,6 +233,10 @@ class AttentionContext(nn.Module):
             tokens = tokens + CentroidPositionalEncoding(
                 cfg.global_feat, dtype=cfg.dtype, name="pos_enc"
             )(centroids)
+        if geom_summary is not None:
+            tokens = tokens + GeomTokenEncoding(
+                cfg.global_feat, dtype=cfg.dtype, name="geom_enc"
+            )(geom_summary)
         out, weights = WindowMHA(
             cfg.global_feat, cfg.att_heads, dropout=cfg.dropout, dtype=cfg.dtype, name="mha"
         )(tokens, key_padding_mask=window_pad_mask, deterministic=not train)
@@ -313,8 +342,30 @@ class AMPNetSegmenter(nn.Module):
         )
         attn_weights = None
         if cfg.context == "attention":
+            geom_summary = None
+            if cfg.att_geom_tokens:
+                if points.shape[-1] <= 9:
+                    raise ValueError(
+                        "att_geom_tokens needs the offline eigenfeature "
+                        "columns (train --geom_features over a dataset "
+                        f"preprocessed with --geom_features); input has "
+                        f"{points.shape[-1]} features")
+                g = points[..., 9:].astype(
+                    cfg.dtype or jnp.float32)  # [B, W, N, E]
+                if point_mask is not None:
+                    m = point_mask[..., None].astype(g.dtype)
+                    mean = (g * m).sum(-2) / jnp.maximum(m.sum(-2), 1.0)
+                else:
+                    mean = g.mean(-2)
+                gmax = masked_max_pool(g, point_mask)  # [B, W, E]
+                # a fully-masked window would pool to -inf; zero it (the
+                # window's token is key-masked anyway, but -inf would NaN
+                # the softmax rows of real queries attending FROM it)
+                gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+                geom_summary = jnp.concatenate([mean, gmax], axis=-1)
             ctx, attn_weights = AttentionContext(cfg, name="context")(
-                global_feats, centroids, window_pad_mask, train=train
+                global_feats, centroids, window_pad_mask, train=train,
+                geom_summary=geom_summary,
             )
         elif cfg.context == "gru":
             ctx = GRUContext(cfg, name="context")(global_feats, train=train)

@@ -64,6 +64,12 @@ def make_forward(
             f"does not know the local_agg={cfg.model.local_agg!r} edge block — "
             "use backend='xla' for edge-aggregation models"
         )
+    if getattr(cfg.model, "att_geom_tokens", False):
+        raise ValueError(
+            f"backend {backend!r} reassembles the reference attention layout "
+            "and does not know the geom-token encoding (att_geom_tokens) — "
+            "use backend='xla' for geom-token models"
+        )
 
     from ampnet_tpu.models.folded_infer import (
         attention_head_folded,

@@ -141,10 +141,18 @@ class SharedMLP(nn.Module):
 
 def masked_max_pool(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -2) -> jnp.ndarray:
     """Max over the point axis, ignoring padded points (the reference's
-    nn.MaxPool1d(num_points) global pool, e.g. pointnetAtt.py:104)."""
+    nn.MaxPool1d(num_points) global pool, e.g. pointnetAtt.py:104).
+
+    A fully-masked reduction yields 0, not −inf: the input pipeline never
+    produces an all-padded window (padding replicates real points,
+    collate_fns.py:42-45 semantics), but −inf from a degenerate caller would
+    NaN downstream attention rows even for REAL windows (NaN·0 = NaN through
+    the key-padding mask), so the pool is made total here."""
     if mask is not None:
         neg = jnp.asarray(-jnp.inf, x.dtype)
-        x = jnp.where(mask[..., None], x, neg)
+        out = jnp.max(jnp.where(mask[..., None], x, neg), axis=axis)
+        any_real = jnp.any(mask, axis=-1)
+        return jnp.where(any_real[..., None], out, jnp.zeros_like(out))
     return jnp.max(x, axis=axis)
 
 

@@ -73,6 +73,7 @@ def train_args(family, seed, data, scratch, epochs, batch_size, n_points,
         local_agg_k=16,
         geom_features=False,
         geom_radius_norm="absolute",
+        att_geom_tokens=False,
     )
 
 
@@ -105,7 +106,7 @@ def run_one(family, seed, args):
     base, _, mod = family.partition("@")
     seg_weighing, focal_gamma, distill, oversample = "", 0.0, False, 1
     local_agg, local_agg_k, geom = "none", 16, False
-    geom_radius_norm = "absolute"
+    geom_radius_norm, att_geom_tokens = "absolute", False
     # mods combine with '+': 'attention@edge+geom' trains with both levers
     for tok in (t for t in mod.split("+") if t):
         if tok.startswith("focal"):
@@ -125,6 +126,10 @@ def run_one(family, seed, args):
             # density-shift lever); the mode is recorded in checkpoint meta
             geom = True
             geom_radius_norm = "median"
+        elif tok == "attg":
+            # geometry-aware attention tokens (cli --att_geom_tokens);
+            # combine as 'attention@geom+attg'
+            att_geom_tokens = True
         elif tok.startswith("kd"):
             # knowledge-distillation arm: 'attention@kd' (alpha from
             # --distill_*) or 'attention@kd0.7'; teacher = --distill_from
@@ -143,6 +148,7 @@ def run_one(family, seed, args):
     ta.local_agg, ta.local_agg_k = local_agg, local_agg_k
     ta.geom_features = geom
     ta.geom_radius_norm = geom_radius_norm
+    ta.att_geom_tokens = att_geom_tokens
     if distill:
         if not getattr(args, "distill_from", ""):
             return {"family": family, "seed": seed,

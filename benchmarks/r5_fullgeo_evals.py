@@ -38,9 +38,9 @@ OUT = os.path.join(REPO, "benchmarks", "results_fullgeo_evals_r5.jsonl")
 EV = "/tmp/r5/ev"
 
 
-def ckpt(name, seed):
+def ckpt(name, seed, arch="attention"):
     return os.path.join(SW, f"{name}_s{seed}", "checkpoints",
-                        "attention_segmentation_best")
+                        f"{arch}_segmentation_best")
 
 
 def targs(model_checkpoint, data, out, **kw):
@@ -120,6 +120,16 @@ def main():
     src = f"{EV}/ens3_t4_v2/IoU-results.csv"
     if os.path.exists(src):
         shutil.copy(src, os.path.join(REPO, "benchmarks", "ens_fg_best_r5.csv"))
+    # 3b. GRU@geom composition — round-5 measured gru@geom as the strongest
+    #     full-geometry single model (.8235±.0017, results_fullgeo_r5.jsonl),
+    #     so its ens3 x tta4 x votes2 is the candidate headline row
+    gens3 = ",".join(ckpt("gru_geom", s, arch="gru") for s in (0, 1, 2))
+    run("gru_ens3_tta4_votes2",
+        targs(gens3, DATA_G, f"{EV}/gens3_t4_v2", tta=4, tile_votes=2), done)
+    src = f"{EV}/gens3_t4_v2/IoU-results.csv"
+    if os.path.exists(src):
+        shutil.copy(src, os.path.join(REPO, "benchmarks",
+                                      "ens_fg_gru_best_r5.csv"))
     # 4. plain-family votes at full geometry (lowest priority — cuttable)
     for s in (0, 1, 2):
         run(f"votes3_plain_s{s}",

@@ -368,6 +368,23 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", b"", {"Content-Type": "application/json"})
     assert e.value.code == 404
+    # non-numeric view-ensemble fields are a 400, not a ValueError->500
+    # (ADVICE r4: int() on client input used to raise out of the handler)
+    pts = np.zeros((4, 9), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", pts.tobytes(),
+              {"Content-Type": "application/octet-stream", "X-TTA": "lots"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", pts.tobytes(),
+              {"Content-Type": "application/octet-stream",
+               "X-Tile-Votes": "1.5"})
+    assert e.value.code == 400
+    payload = json.dumps({"clouds": [pts.tolist()], "tta": "many"}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/predict", payload,
+              {"Content-Type": "application/json"})
+    assert e.value.code == 400
 
 
 def test_exec_ema_tracks_device_time_not_drain_window():

@@ -517,8 +517,15 @@ def _restore_model(args, task: str):
             context="attention" if args.arch == "attention" else args.arch
         ))
     model = build_model(cfg, arch, task)
+    # template-init with the RECORDED input width: a geom checkpoint
+    # (extra_features=6) restores fine over a 9-col template because orbax
+    # replaces the tree wholesale, but att_geom_tokens models validate the
+    # feature count at trace time and would reject the 9-col init batch
     batch = {k: jnp.asarray(v)
-             for k, v in synthetic_batch(np.random.default_rng(0), 1, 2, 64).items()}
+             for k, v in synthetic_batch(
+                 np.random.default_rng(0), 1, 2, 64,
+                 num_features=cfg.data.num_features + cfg.data.extra_features,
+             ).items()}
     if task == "classification":
         batch["cls_label"] = jnp.zeros((1,), jnp.int32)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)

@@ -197,6 +197,55 @@ def test_restore_model_honors_recorded_arch(tmp_path):
     assert "gru" in state.params["context"]
 
 
+def test_restore_model_att_geom_tokens_checkpoint(tmp_path):
+    """An --att_geom_tokens checkpoint must restore through _restore_model
+    (regression, round 5: the template state was initialized with a 9-feature
+    synthetic batch regardless of the recorded input width, and the attg
+    model's trace-time feature-count validation rejected it BEFORE orbax
+    could restore — every attg eval died in cmd_test while training worked)."""
+    import dataclasses
+
+    import numpy as np
+
+    from test_trainer import MemoryDataset
+
+    from ampnet_tpu.cli.main import _restore_model
+    from ampnet_tpu.core.config import (AMPNetConfig, DataConfig, ModelConfig,
+                                        TrainConfig)
+    from ampnet_tpu.data.pipeline import PaddedBatcher
+    from ampnet_tpu.models.factory import build_model
+    from ampnet_tpu.train.trainer import Trainer
+
+    class GeomMemoryDataset(MemoryDataset):
+        def __init__(self):
+            super().__init__(n_items=3)
+            rng = np.random.default_rng(1)
+            for s in self.samples:  # append 6 stand-in eigenfeature columns
+                g = rng.random((*s["points"].shape[:2], 6), np.float32)
+                s["points"] = np.concatenate([s["points"], g], axis=2)
+
+    cfg = AMPNetConfig(
+        data=dataclasses.replace(DataConfig(), extra_features=6),
+        model=dataclasses.replace(ModelConfig(), att_geom_tokens=True),
+        train=TrainConfig(batch_size=3, epochs=1))
+    batcher = PaddedBatcher(GeomMemoryDataset(), 3, n_points=96, max_windows=4,
+                            seed=0, prefetch=0)
+    model = build_model(cfg, "attention", "segmentation")
+    tr = Trainer(cfg, model, batcher, batcher, str(tmp_path),
+                 name="attention_segmentation")
+    tr.fit(epochs=1)
+    ckpt = os.path.join(str(tmp_path), "checkpoints",
+                        "attention_segmentation_best")
+    assert os.path.isdir(ckpt)
+
+    restored = _restore_model(
+        ns(model_checkpoint=ckpt, arch="attention", task="segmentation"),
+        "segmentation")
+    assert restored is not None
+    rcfg, _, state, _ = restored
+    assert rcfg.model.att_geom_tokens and rcfg.data.extra_features == 6
+
+
 def test_seg_class_weights_from_histogram():
     """--seg_weighing computes CE weights from the train label histogram:
     rarer classes get strictly larger weights (INS/ISNS), unknown methods

@@ -29,19 +29,24 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 BASELINE_PIN = os.path.join(REPO, "benchmarks", "bench_baseline_pinned.json")
 
 def _enable_compile_cache():
-    """Persistent compilation cache: first-time compile through this environment's
-    remote relay is minutes; cached recompiles are seconds. The axon plugin imports
-    jax during interpreter startup, so the JAX_COMPILATION_CACHE_DIR env var is read
-    too early — the config must be updated at runtime (the plugin's compile hook
-    then uses the same cache dir for its executable sidechannel).
+    """Persistent compilation cache: enabled AFTER the inference measurement, for
+    the train arms only. The axon plugin imports jax during interpreter startup, so
+    the JAX_COMPILATION_CACHE_DIR env var is read too early — the config must be
+    updated at runtime (the plugin's compile hook then uses the same cache dir for
+    its executable sidechannel).
 
-    Reads are always on; WRITES are opt-in (``AMPNET_BENCH_POPULATE=1``). Writing a
-    cache entry through this relay serializes the executable back from the remote
-    compile service — measured to inflate a cold compile 83→418 s (round 2) and to
-    ~700–800 s at this program size (round 3: the builder preflight AND the driver
-    run both paid it, BENCH_r03 compile_s 809). With writes off, a cache miss costs
-    only the plain relay compile; the builder preflights once with POPULATE=1 so
-    the driver's run hits."""
+    Round-5 endgame measurement settled the cache policy per program:
+    - jit_forward (inference): cold relay compile 33.7 s; a persistent-cache HIT
+      costs ~220 s (two idle-host reps, 218/224 s — the deserialized-executable
+      load path through the relay is 6.5× the cold compile). The cache is NET
+      NEGATIVE for this program, so it is enabled only after measure_tpu() runs.
+    - jit_train_step fp32/bf16: HITs cost 3–10 s vs minutes cold — net positive,
+      so the train arms keep it.
+    Reads are on (for the programs compiled after this point); WRITES are opt-in
+    (``AMPNET_BENCH_POPULATE=1``) because writing an entry through this relay
+    serializes the executable back from the remote compile service — measured to
+    inflate a cold compile 83→418 s (round 2) and ~700–800 s at full program size
+    (round 3, BENCH_r03 compile_s 809)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -146,8 +151,6 @@ def _finish_cache_diag(diag: dict) -> dict:
     }
     return diag
 
-
-_enable_compile_cache()
 
 BATCH = 32
 WINDOWS = 9
@@ -333,6 +336,9 @@ def main():
     diag = _start_cache_diag()
     baseline = get_baseline()
     tpu = measure_tpu()
+    # cache on only for the train arms — a jit_forward cache HIT through this
+    # relay costs ~220 s vs 34 s cold (see _enable_compile_cache docstring)
+    _enable_compile_cache()
     try:
         train = measure_train()
     except Exception as e:  # training detail must never break the bench contract

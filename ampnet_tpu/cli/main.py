@@ -184,6 +184,7 @@ def _build_cfg(args):
             if getattr(args, "geom_features", False) else 0,
             geom_radius_norm=getattr(args, "geom_radius_norm", "absolute")
             or "absolute",
+            geom_k=getattr(args, "geom_k", 24) or 24,
         ),
         model=ModelConfig(
             context="attention" if args.arch == "attention" else args.arch,
@@ -1103,6 +1104,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "columns were preprocessed with (must match the "
                         "`preprocess --geom_radius_norm` used) — whole-tile "
                         "LAS inference recomputes the columns from this")
+    s.add_argument("--geom_k", type=int, default=24,
+                   help="record which k-NN neighborhood size the dataset's "
+                        "geom columns were preprocessed with (must match the "
+                        "`preprocess --geom_k` used) — whole-tile LAS "
+                        "inference recomputes the columns from this")
     s.add_argument("--att_geom_tokens", action="store_true",
                    help="add a per-window [mean‖max] pool of the geom columns "
                         "to the attention tokens (requires --geom_features), "

@@ -48,6 +48,11 @@ class DataConfig:
     # training-time schema. 'median' is the density-shift-robust mode
     # (BASELINE.md density÷2 arm).
     geom_radius_norm: str = "absolute"
+    # k-NN neighborhood size the geom columns were preprocessed with
+    # (`preprocess --geom_k`); recorded for the same reason as
+    # geom_radius_norm — whole-tile LAS inference recomputes the
+    # eigenfeatures and must use the training-time neighborhood
+    geom_k: int = 24
     # ASPRS-ish classes dropped at dataset load. NOTE: the reference also drops 14
     # (power lines) here, which makes the cables class unlearnable — see
     # data/schema.py DATASET_NOISE_CLASSES for the full account

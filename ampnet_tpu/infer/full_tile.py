@@ -102,6 +102,7 @@ def predict_tile(
                 [feats,
                  geometric_features(
                      xyz,
+                     k=getattr(inferencer.cfg.data, "geom_k", 24),
                      radius_norm=getattr(inferencer.cfg.data,
                                          "geom_radius_norm", "absolute"))],
                 axis=1)

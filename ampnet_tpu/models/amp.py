@@ -357,11 +357,8 @@ class AMPNetSegmenter(nn.Module):
                     mean = (g * m).sum(-2) / jnp.maximum(m.sum(-2), 1.0)
                 else:
                     mean = g.mean(-2)
-                gmax = masked_max_pool(g, point_mask)  # [B, W, E]
-                # a fully-masked window would pool to -inf; zero it (the
-                # window's token is key-masked anyway, but -inf would NaN
-                # the softmax rows of real queries attending FROM it)
-                gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+                gmax = masked_max_pool(g, point_mask)  # [B, W, E]; total —
+                # returns 0, never -inf, for fully-masked windows (layers.py)
                 geom_summary = jnp.concatenate([mean, gmax], axis=-1)
             ctx, attn_weights = AttentionContext(cfg, name="context")(
                 global_feats, centroids, window_pad_mask, train=train,

@@ -237,7 +237,10 @@ def main():
                 try:
                     r = json.loads(line)
                     if "error" not in r:
-                        done.add((r["family"], r["seed"]))
+                        # transfer_dtype is part of WHAT a row measures — a
+                        # plain row must not mark an int8 re-run as done
+                        done.add((r["family"], r["seed"],
+                                  r.get("transfer_dtype", "")))
                 except json.JSONDecodeError:
                     pass
 
@@ -248,7 +251,7 @@ def main():
     for family in families:  # family-major: one compile, then all seeds hit cache
         for seed in seeds:
             i += 1
-            if (family, seed) in done:
+            if (family, seed, getattr(args, "transfer_dtype", "") or "") in done:
                 print(f"[{i}/{total}] {family} seed {seed}: already done",
                       file=sys.stderr, flush=True)
                 continue

@@ -7,6 +7,14 @@
 #      unshifted quality unchanged.
 #   7. geom-token attention arm (VERDICT #8 stretch): attention@geom+attg at
 #      FULL geometry, 3 seeds, paired vs r4's attention@geom rows (.8159).
+#
+# REPRODUCIBILITY NOTE: build_gm.sh was an uncommitted /tmp helper (lost to
+# the mid-round VM restart). Its job, to recreate before re-running this
+# queue: regenerate the r4 synthetic LAS tiles (`ampnet synth`, hard-profile
+# seeds as in r4_queues/queue.sh), then for each shift arm run
+#   ampnet preprocess --geom_features --geom_radius_norm median \
+#     --out_path /tmp/r5/p256gm<arm> ...   (256-pt geometry params)
+# and append "GM_DATASETS_DONE" to /tmp/r5/queue.status.
 set -x
 cd /root/repo
 R=/tmp/r5

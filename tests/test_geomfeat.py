@@ -197,3 +197,40 @@ class TestRadiusNorm:
         b = load_cloud(str(tmp_path / "b" / f))
         np.testing.assert_array_equal(a[:, :-1, :], b[:, :-1, :])
         assert not np.array_equal(a[:, -1, :], b[:, -1, :])
+
+
+class TestGeomKMeta:
+    """--geom_k must survive the checkpoint-meta round trip: whole-tile LAS
+    inference recomputes the eigenfeatures (infer/full_tile.py) and a k
+    mismatch is a wholesale covariate shift in 6 input columns — same failure
+    class as the geom_radius_norm recording (core/config.py DataConfig)."""
+
+    def test_config_roundtrip_and_legacy_default(self):
+        import dataclasses
+        import json
+
+        from ampnet_tpu.core.config import AMPNetConfig, DataConfig
+
+        cfg = AMPNetConfig(data=DataConfig(geom_k=12))
+        back = AMPNetConfig.from_json(cfg.to_json())
+        assert back.data.geom_k == 12
+
+        # legacy checkpoint meta written before the field existed: strip it
+        raw = json.loads(cfg.to_json())
+        del raw["data"]["geom_k"]
+        legacy = AMPNetConfig.from_json(json.dumps(raw))
+        assert legacy.data.geom_k == 24
+
+    def test_build_cfg_threads_geom_k(self):
+        from types import SimpleNamespace
+
+        from ampnet_tpu.cli.main import _build_cfg
+
+        args = SimpleNamespace(number_of_points=128, number_of_windows=3,
+                               arch="attention", geom_features=True,
+                               geom_k=12, batch_size=4, epochs=1,
+                               learning_rate=1e-3, weighing_method="fixed",
+                               seed=0)
+        cfg = _build_cfg(args)
+        assert cfg.data.geom_k == 12
+        assert cfg.data.extra_features > 0
